@@ -1,0 +1,135 @@
+"""Executable parity: run the actual reference library under node and
+compare its verdicts with our pure-Python evaluators on the semantic
+edge cases. Skipped when node is unavailable.
+
+The reference is consulted as an ORACLE only — no code is copied.
+"""
+
+import json
+import shutil
+import subprocess
+
+import pytest
+
+from sjot_spark.spec.checker import check_satisfiable
+from sjot_spark.spec.ranges import parse_range
+
+node = shutil.which("node")
+pytestmark = pytest.mark.skipif(node is None, reason="node not installed")
+
+_DRIVER = r"""
+const SJOT = require("/root/reference/index.js");
+const cases = JSON.parse(require("fs").readFileSync(0, "utf8"));
+const out = cases.map(c => {
+  try {
+    if (c.kind === "valid") return SJOT.valid(c.data, c.type, c.schema || null);
+    if (c.kind === "check") { try { SJOT.check(c.schema); return true; } catch (e) { return false; } }
+  } catch (e) { return false; }
+});
+console.log(JSON.stringify(out));
+"""
+
+
+def run_reference(cases):
+    p = subprocess.run(
+        [node, "-e", _DRIVER], input=json.dumps(cases).encode(),
+        capture_output=True, check=True,
+    )
+    return json.loads(p.stdout)
+
+
+RANGE_CASES = [
+    ("1..10", v) for v in [0, 1, 5, 10, 11, 1.5, 9.5]
+] + [
+    ("1.0..10.0", v) for v in [1.5, 0.5, 10.0, 10.5]
+] + [
+    ("<1..10>", v) for v in [1, 2, 9, 10]
+] + [
+    ("1,3..5", v) for v in [1, 2, 3, 4, 5, 6]
+] + [
+    ("1,1.0..2.0", v) for v in [1, 1.5, 2]
+] + [
+    ("1.0..2.0,1", v) for v in [1.5, 1]
+] + [
+    ("-10..10", v) for v in [-10, -11, 10]
+] + [
+    ("..5>", v) for v in [4, 5]
+] + [
+    ("<5..", v) for v in [5, 6]
+] + [
+    ("-999,-1,0,1,999", v) for v in [-999, -1, 0, 1, 999, 2, -2]
+]
+
+
+def test_range_parity_with_reference():
+    cases = [{"kind": "valid", "data": v, "type": t} for t, v in RANGE_CASES]
+    expected = run_reference(cases)
+    got = [parse_range(t).match_py(v) for t, v in RANGE_CASES]
+    mismatches = [
+        (t, v, e, g) for (t, v), e, g in zip(RANGE_CASES, expected, got) if e != g
+    ]
+    assert not mismatches, f"range semantics diverge from reference: {mismatches}"
+
+
+SAT_CASES = [
+    {"a?": "int", "b?": "int", "@one": [["a", "b"]], "@all": [["a", "b"]]},
+    {"a?": "int", "b?": "int", "@one": [["a", "b"]]},
+    {"a?": "int", "b?": "int", "@any": [["a", "b"]], "@all": [["a", "b"]]},
+    {"a?": "int", "b?": "int", "c?": "int",
+     "@one": [["a", "b"]], "@dep": {"a": ["b"]}},
+    {"a?": "int", "b?": "int",
+     "@any": [["a", "b"]], "@dep": {"a": ["b"], "b": ["a"]}},
+]
+
+
+def test_satisfiability_parity_with_reference():
+    cases = [
+        {"kind": "check", "schema": {"@root": "#T", "T": t}} for t in SAT_CASES
+    ]
+    expected = run_reference(cases)
+    for t, exp in zip(SAT_CASES, expected):
+        one = tuple(tuple(s) for s in t.get("@one", []))
+        any_ = tuple(tuple(s) for s in t.get("@any", []))
+        all_ = tuple(tuple(s) for s in t.get("@all", []))
+        dep = tuple(
+            (k, (v,) if isinstance(v, str) else tuple(v))
+            for k, v in t.get("@dep", {}).items()
+        )
+        assert check_satisfiable(one, any_, all_, dep) == exp, t
+
+
+FORMAT_CASES = [
+    ("base64", "SGVsbG8="), ("base64", "not base64!"),
+    ("hex", "deadBEEF"), ("hex", "xyz"),
+    ("uuid", "123e4567-e89b-12d3-a456-426614174000"),
+    ("uuid", "urn:uuid:123e4567-e89b-12d3-a456-426614174000"),
+    ("uuid", "123e4567"),
+    ("date", "2024-02-30"), ("date", "2024-1-01"),
+    ("time", "12:34:56.123456Z"), ("time", "12:34"),
+    ("datetime", "2024-01-01T12:34:56+05:30"), ("datetime", "2024-01-01 12:34:56"),
+    ("duration", "P1Y2M3DT4H5M6S"), ("duration", "1Y"),
+    ("char[2]", "ab"), ("char[2]", "abc"), ("char", "a"), ("char", "ab"),
+    ("(doc\\d{3})", "doc123"), ("(doc\\d{3})", "doc12x"),
+]
+
+
+def test_string_format_parity_with_reference():
+    import re
+
+    from sjot_spark.spec.typestr import FORMAT_REGEX, parse_type, CharLen, Regex
+
+    cases = [{"kind": "valid", "data": v, "type": t} for t, v in FORMAT_CASES]
+    expected = run_reference(cases)
+    for (t, v), exp in zip(FORMAT_CASES, expected):
+        if t in FORMAT_REGEX:
+            got = re.match(FORMAT_REGEX[t], v) is not None
+        elif t == "char":
+            got = len(v) == 1
+        else:
+            node_t = parse_type(t)
+            if isinstance(node_t, CharLen):
+                got = node_t.bounds.check_len(len(v))
+            else:
+                assert isinstance(node_t, Regex)
+                got = re.match(node_t.anchored, v) is not None
+        assert got == exp, (t, v, exp)
