@@ -1,0 +1,459 @@
+"""Compile a CheckSpec into vectorized Spark Column expressions.
+
+The analog of one sjot_validate specialization per declared type
+(/root/reference/index.js:109-757) — but compiled ONCE on the driver
+into built-in Catalyst expressions (between / rlike / forall / size /
+when), so every check for every row evaluates inside whole-stage
+codegen in a single projection pass. No Python runs per row anywhere.
+
+Schema-level conformance (SJOT's typeof dispatch, required-property
+presence of the column itself, @final extra-property rejection) is
+resolved at COMPILE time against the DataFrame schema: columns have
+fixed types, so what SJOT decides per value we decide once per job.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+from operator import and_, or_
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sjot_spark.errors import SpecError
+from sjot_spark.spec.bounds import Bounds
+from sjot_spark.spec.ranges import RangeSpec
+from sjot_spark.spec.spec import CheckSpec
+from sjot_spark.spec.typestr import (
+    ArrayOf, CharLen, ObjectT, Primitive, Prop, Range, Ref, Regex,
+    SizedInt, Tuple, TypeNode, UnionT, FORMAT_REGEX,
+)
+
+_FLOATY = (T.FloatType, T.DoubleType, T.DecimalType)
+_INTY = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _FLOATY + _INTY
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """One named row-level check: a pass-predicate Column plus a lazy
+    detail Column (materialized only under when(fail, ...) — the
+    FAST-build analog, /root/reference/build.sh:19-26)."""
+
+    check_id: str
+    passed: Column
+    detail: Column
+    typepath: str
+
+
+def _detail(col_name: str, value_col: Column, type_desc: str, typepath: str) -> Column:
+    """SJOT-shaped diagnostic: `$.a value "x" is not of type 1..10
+    required by /@root/a` (sjot_error, index.js:1247-1269)."""
+    return F.format_string(
+        "$.%s value %s is not of type %s required by %s",
+        F.lit(col_name),
+        F.coalesce(value_col.cast("string"), F.lit("null")),
+        F.lit(type_desc),
+        F.lit(typepath),
+    )
+
+
+def node_desc(t: TypeNode) -> str:
+    if isinstance(t, Range):
+        return t.spec.source
+    if isinstance(t, SizedInt) or isinstance(t, Primitive):
+        return t.name
+    if isinstance(t, Regex):
+        return t.pattern
+    if isinstance(t, CharLen):
+        b = t.bounds
+        inner = str(b.lo) if b.exact else f"{b.lo or ''},{b.hi or ''}"
+        return f"char[{inner}]"
+    if isinstance(t, ArrayOf):
+        b, br = t.bounds, "{}" if t.is_set else "[]"
+        inner = "" if b.unbounded else (str(b.lo) if b.exact else f"{'' if b.lo is None else b.lo},{'' if b.hi is None else b.hi}")
+        return f"{node_desc(t.item)}{br[0]}{inner}{br[1]}"
+    if isinstance(t, Ref):
+        return t.name
+    if isinstance(t, UnionT):
+        return "[[" + ",".join(node_desc(m) for m in t.members) + "]]"
+    return type(t).__name__.lower()
+
+
+def range_pred(rs: RangeSpec, c: Column, col_is_float: bool) -> Column:
+    """Numeric range/enum → boolean Column, preserving the reference's
+    ordered-scan float semantics (see sjot_spark.spec.ranges)."""
+
+    def interval(it) -> Column:
+        conds = []
+        if it.lo is not None:
+            conds.append(c > F.lit(it.lo) if it.xlo else c >= F.lit(it.lo))
+        if it.hi is not None:
+            conds.append(c < F.lit(it.hi) if it.xhi else c <= F.lit(it.hi))
+        return reduce(and_, conds) if conds else F.lit(True)
+
+    int_match = reduce(or_, (interval(i) for i in rs.items))
+    if not col_is_float:
+        return int_match
+    isfloat = c != F.floor(c)
+    fp = rs.float_prefix
+    float_match = reduce(or_, (interval(i) for i in fp)) if fp else F.lit(False)
+    return F.when(isfloat, float_match).otherwise(int_match)
+
+
+def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | None:
+    """Runtime pass-predicate for a scalar node over column c of Spark
+    type dt; None = statically always-true (schema already guarantees
+    it — the Catalyst analog of SJOT's typeof switch arms that return
+    immediately)."""
+    while isinstance(t, Ref):
+        t = resolve(t.name)
+    if isinstance(t, Range):
+        if not isinstance(dt, _NUMERIC):
+            raise SpecError(f"range type on non-numeric column type {dt}")
+        return range_pred(t.spec, c, isinstance(dt, _FLOATY))
+    if isinstance(t, SizedInt):
+        p = (c >= F.lit(t.lo)) & (c <= F.lit(t.hi))
+        if isinstance(dt, _FLOATY):
+            p = p & (c == F.floor(c))
+        # statically-safe case: e.g. byte column vs int type — still
+        # evaluate (cheap) rather than special-case
+        return p
+    if isinstance(t, Regex):
+        if not isinstance(dt, T.StringType):
+            raise SpecError(f"regex type on non-string column type {dt}")
+        return c.rlike(t.anchored)
+    if isinstance(t, CharLen):
+        return bounds_pred(t.bounds, F.length(c))
+    if isinstance(t, Primitive):
+        n = t.name
+        if n in FORMAT_REGEX:
+            if not isinstance(dt, T.StringType):
+                raise SpecError(f"{n} type on non-string column type {dt}")
+            return c.rlike(FORMAT_REGEX[n])
+        if n == "char":
+            return F.length(c) == 1
+        if n in ("true", "false"):
+            return c == F.lit(n == "true")
+        if n == "integer":
+            return c == F.floor(c) if isinstance(dt, _FLOATY) else None
+        if n in ("any", "atom", "object", "array", "string", "boolean",
+                 "number", "float", "double", "null"):
+            # conformance is the column's Spark type; checked statically
+            _static_conform(n, dt)
+            return None
+        raise SpecError(f"unsupported primitive {n}")
+    if isinstance(t, UnionT):
+        # columns have one fixed Spark type: dispatch statically to the
+        # members compatible with dt (SJOT dispatches per value on JS
+        # typeof, index.js:802-909 — same decision, made once)
+        preds = []
+        for m in t.members:
+            try:
+                p = scalar_pred(m, c, dt, resolve)
+            except SpecError:
+                continue
+            preds.append(F.lit(True) if p is None else p)
+        if not preds:
+            raise SpecError(f"no union member matches column type {dt}")
+        return reduce(or_, preds)
+    if isinstance(t, ArrayOf):
+        # nested arrays (A6): compose bounds + element typing + set
+        # uniqueness into one predicate, recursing through forall
+        if not isinstance(dt, T.ArrayType):
+            raise SpecError(f"array type on non-array column type {dt}")
+        preds = []
+        bp = bounds_pred(t.bounds, F.size(c))
+        if bp is not None:
+            preds.append(bp)
+        if t.is_set:
+            preds.append(F.size(F.array_distinct(c)) == F.size(c))
+        if scalar_pred(t.item, F.lit(0), dt.elementType, resolve) is not None \
+                or isinstance(t.item, (ArrayOf, Tuple, ObjectT)):
+            def ep(x: Column) -> Column:
+                p = scalar_pred(t.item, x, dt.elementType, resolve)
+                base = x.isNotNull()
+                return base if p is None else base & F.coalesce(p, F.lit(False))
+            preds.append(F.forall(c, ep))
+        return reduce(and_, preds) if preds else None
+    if isinstance(t, Tuple):
+        if not isinstance(dt, T.ArrayType):
+            raise SpecError(f"tuple type on non-array column type {dt}")
+        preds = [F.size(c) == len(t.items)]
+        for i, it in enumerate(t.items):
+            ec = F.get(c, i)  # null-safe under ANSI mode
+            p = scalar_pred(it, ec, dt.elementType, resolve)
+            preds.append(ec.isNotNull() if p is None else F.coalesce(p, F.lit(False)))
+        return reduce(and_, preds)
+    if isinstance(t, ObjectT):
+        # nested struct column: conjunction over fields
+        if not isinstance(dt, T.StructType):
+            raise SpecError(f"object type on non-struct column type {dt}")
+        preds = []
+        fields = {f.name: f for f in dt.fields}
+        for p in t.props:
+            if p.is_regex:
+                names = [n for n in fields if re.match(f"^{p.name}$", n)]
+            else:
+                if p.name not in fields:
+                    if p.optional:
+                        continue
+                    raise SpecError(f"required struct field {p.name} missing")
+                names = [p.name]
+            for nm in names:
+                fc = c.getField(nm)
+                fp = scalar_pred(p.type, fc, fields[nm].dataType, resolve)
+                base = fc.isNotNull() if not p.optional else F.lit(True)
+                if fp is not None:
+                    base = base & F.when(fc.isNull(), p.optional).otherwise(fp)
+                preds.append(base)
+        if t.final:
+            extra = set(fields) - {p.name for p in t.props if not p.is_regex}
+            extra = {
+                n for n in extra
+                if not any(re.match(f"^{p.name}$", n) for p in t.props if p.is_regex)
+            }
+            if extra:
+                raise SpecError(f"@final object has extra struct fields {sorted(extra)}")
+        return reduce(and_, preds) if preds else None
+    raise SpecError(f"cannot compile scalar predicate for {t}")
+
+
+def _static_conform(name: str, dt: T.DataType) -> None:
+    ok = {
+        "string": isinstance(dt, T.StringType),
+        "boolean": isinstance(dt, T.BooleanType),
+        "number": isinstance(dt, _NUMERIC),
+        "float": isinstance(dt, _NUMERIC),
+        "double": isinstance(dt, _NUMERIC),
+        "object": isinstance(dt, (T.StructType, T.MapType)),
+        "array": isinstance(dt, T.ArrayType),
+        "any": True,
+        "atom": isinstance(dt, (T.StringType, T.BooleanType) + _NUMERIC),
+        "null": True,  # null-typed: only null passes; handled by caller
+    }[name]
+    if not ok:
+        raise SpecError(f"column type {dt} does not conform to {name}")
+
+
+def bounds_pred(b: Bounds, n: Column) -> Column | None:
+    if b.unbounded:
+        return None
+    if b.exact:
+        return n == F.lit(b.lo)
+    conds = []
+    if b.lo is not None:
+        conds.append(n >= F.lit(b.lo))
+    if b.hi is not None:
+        conds.append(n <= F.lit(b.hi))
+    return reduce(and_, conds)
+
+
+def _elem_kind(item: TypeNode) -> str:
+    if isinstance(item, (Range, SizedInt)):
+        return "element_range"
+    if isinstance(item, (Regex, CharLen)):
+        return "element_format"
+    return "element_type"
+
+
+@dataclass
+class CompiledSpec:
+    spec: CheckSpec
+    key: str | None
+    partition_by: str | None
+    row_checks: list[RowCheck]
+    columns: list[str]  # root object columns present in the df
+
+
+def compile_spec(spec: CheckSpec, schema: T.StructType) -> CompiledSpec:
+    """Compile the root object against a DataFrame schema into the full
+    row-level check list (P1-P12, A1-A6, C1-C6, @table.consistent).
+    Plan-level checks (unique/ref/drift) are driven by the engine."""
+    spec.check()
+    root = spec.root
+    if not isinstance(root, ObjectT):
+        raise SpecError("root type must be an object over table columns")
+    fields = {f.name: f for f in schema.fields}
+    tname = spec.root_name
+    checks: list[RowCheck] = []
+
+    # @final: reject extra columns (index.js:448-451) — compile-time
+    if root.final:
+        declared = {p.name for p in root.props if not p.is_regex}
+        rex = [p.name for p in root.props if p.is_regex]
+        extra = [
+            n for n in fields
+            if n not in declared and not any(re.match(f"^{r}$", n) for r in rex)
+        ]
+        if extra:
+            raise SpecError(f"@final: table has undeclared columns {extra}")
+
+    def expand(p: Prop) -> list[tuple[str, Prop]]:
+        if not p.is_regex:
+            return [(p.name, p)]
+        return [(n, p) for n in fields if re.match(f"^{p.name}$", n)]
+
+    for p in root.props:
+        for col_name, prop in expand(p):
+            if col_name not in fields:
+                if prop.optional:
+                    continue  # optional column may be absent entirely
+                raise SpecError(f"required column {col_name} missing from table")
+            checks.extend(
+                _compile_column(col_name, prop, fields[col_name].dataType,
+                                spec.resolve, f"/@root/{tname}/{col_name}")
+            )
+
+    # C1-C4 presence combinators over column nullness
+    present = lambda n: F.col(n).isNotNull()  # noqa: E731
+    for s in root.one:
+        cnt = reduce(
+            lambda a, b: a + b, (present(n).cast("int") for n in s)
+        )
+        checks.append(RowCheck(
+            "one_" + "_".join(s), cnt == 1,
+            _detail("+".join(s), cnt, f"@one {list(s)}", f"/@root/{tname}/@one"),
+            f"/@root/{tname}/@one"))
+    for s in root.any:
+        pr = reduce(or_, (present(n) for n in s))
+        checks.append(RowCheck(
+            "any_" + "_".join(s), pr,
+            _detail("+".join(s), F.lit("absent"), f"@any {list(s)}", f"/@root/{tname}/@any"),
+            f"/@root/{tname}/@any"))
+    for s in root.all:
+        allp = reduce(and_, (present(n) for n in s))
+        nonep = ~reduce(or_, (present(n) for n in s))
+        checks.append(RowCheck(
+            "all_" + "_".join(s), allp | nonep,
+            _detail("+".join(s), F.lit("partial"), f"@all {list(s)}", f"/@root/{tname}/@all"),
+            f"/@root/{tname}/@all"))
+    for pn, deps in root.dep:
+        pr = ~present(pn) | reduce(and_, (present(d) for d in deps))
+        checks.append(RowCheck(
+            f"dep_{pn}", pr,
+            _detail(pn, F.lit("present"), f"@dep {list(deps)}", f"/@root/{tname}/@dep"),
+            f"/@root/{tname}/@dep"))
+
+    # @table.consistent: sibling-column expressions, e.g. n_tok == size(tokens)
+    for col_name, expr_sql in spec.table.consistent:
+        lhs, rhs = F.col(col_name), F.expr(expr_sql)
+        # null on either side passes: presence is its own check
+        # (keeps each seeded corruption mapped to exactly one check_id)
+        pr = F.when(lhs.isNull() | rhs.isNull(), F.lit(True)).otherwise(lhs == rhs)
+        checks.append(RowCheck(
+            f"{col_name}_consistency", pr,
+            _detail(col_name, lhs, f"== {expr_sql}", f"/@table/consistent/{col_name}"),
+            f"/@table/consistent/{col_name}"))
+
+    cols = [p.name for p in root.props if not p.is_regex and p.name in fields]
+    return CompiledSpec(
+        spec=spec,
+        key=spec.table.key,
+        partition_by=spec.table.partition_by,
+        row_checks=checks,
+        columns=cols,
+    )
+
+
+def _compile_column(
+    name: str, prop: Prop, dt: T.DataType, resolve, typepath: str
+) -> list[RowCheck]:
+    """All row-level checks for one column."""
+    c = F.col(name)
+    out: list[RowCheck] = []
+    t = prop.type
+    while isinstance(t, Ref):
+        t = resolve(t.name)
+
+    # presence (P1/P10): required column must be non-null; regex-named
+    # props are implicitly optional (they validate observed columns,
+    # index.js:388-405)
+    if not prop.optional and not prop.is_regex \
+            and not (isinstance(t, Primitive) and t.name == "null"):
+        out.append(RowCheck(
+            f"{name}_not_null", c.isNotNull(),
+            _detail(name, c, node_desc(prop.type), typepath), typepath))
+    if isinstance(t, Primitive) and t.name == "null":
+        out.append(RowCheck(
+            f"{name}_null", c.isNull(),
+            _detail(name, c, "null", typepath), typepath))
+        return out
+
+    null_ok = F.lit(True)  # null handled by the presence check / optional
+
+    def guarded(p: Column) -> Column:
+        return F.when(c.isNull(), null_ok).otherwise(p)
+
+    if isinstance(t, ArrayOf):
+        if not isinstance(dt, T.ArrayType):
+            raise SpecError(f"array type on non-array column {name}: {dt}")
+        # A2/A3: size bounds (n_tok-style sibling consistency lives in
+        # @table.consistent; this is the literal-bounds operator)
+        bp = bounds_pred(t.bounds, F.size(c))
+        if bp is not None:
+            out.append(RowCheck(
+                f"{name}_len_bounds", guarded(bp),
+                _detail(name, F.size(c), node_desc(t), typepath + "[]"), typepath))
+        # A5 intra-row set uniqueness — hash-based, replaces the
+        # reference's O(n log n) sort (index.js:294-299)
+        if t.is_set:
+            out.append(RowCheck(
+                f"{name}_unique_items",
+                guarded(F.size(F.array_distinct(c)) == F.size(c)),
+                _detail(name, c, node_desc(t), typepath), typepath))
+        # A1: element typing via forall — one vectorized pass
+        elem_dt = dt.elementType
+        # dry-build once to learn whether the item type needs a runtime
+        # predicate at all (None = schema already guarantees it)
+        needs_elem = scalar_pred(t.item, F.lit(0), elem_dt, resolve) is not None
+
+        def elem_pred(x: Column) -> Column:
+            p = scalar_pred(t.item, x, elem_dt, resolve)
+            base = x.isNotNull()  # null elements violate (no default insertion)
+            return base if p is None else base & F.coalesce(p, F.lit(False))
+
+        if needs_elem:
+            first_bad = F.element_at(
+                F.filter(c, lambda x: ~elem_pred(x)), 1)
+            out.append(RowCheck(
+                f"{name}_{_elem_kind(t.item)}",
+                guarded(F.forall(c, elem_pred)),
+                _detail(name, first_bad, node_desc(t.item), typepath + "[]"),
+                typepath))
+        return out
+
+    if isinstance(t, Tuple):
+        if not isinstance(dt, T.ArrayType):
+            raise SpecError(f"tuple type on non-array column {name}: {dt}")
+        out.append(RowCheck(
+            f"{name}_len_bounds", guarded(F.size(c) == len(t.items)),
+            _detail(name, F.size(c), node_desc(t), typepath), typepath))
+        preds = []
+        for i, it in enumerate(t.items):
+            ec = F.get(c, i)  # null-safe under ANSI mode
+            p = scalar_pred(it, ec, dt.elementType, resolve)
+            preds.append(ec.isNotNull() if p is None else F.coalesce(p, F.lit(False)))
+        out.append(RowCheck(
+            f"{name}_tuple_types", guarded(reduce(and_, preds)),
+            _detail(name, c, node_desc(t), typepath), typepath))
+        return out
+
+    p = scalar_pred(t, c, dt, resolve)
+    if p is not None:
+        kind = (
+            "range" if isinstance(t, (Range, SizedInt))
+            or (isinstance(t, Primitive) and t.name == "integer")
+            else "format" if isinstance(t, (Regex,))
+            or (isinstance(t, Primitive) and t.name in FORMAT_REGEX)
+            else "len_bounds" if isinstance(t, CharLen)
+            else "type"
+        )
+        out.append(RowCheck(
+            f"{name}_{kind}", guarded(p),
+            _detail(name, c, node_desc(prop.type), typepath), typepath))
+    return out

@@ -1,0 +1,254 @@
+"""ValidationEngine — run a compiled CheckSpec over a DataFrame.
+
+Execution shape (SURVEY.md §3.4):
+
+1. one shuffle-free projection pass evaluates every row-level check
+   for every row inside whole-stage codegen (the columnar analog of
+   SJOT's single-pass validation, /root/reference/README.md:28-29);
+2. plan-fragment checks run as Spark plans: cross-row uniqueness is a
+   key-partitioned aggregation (partial/merge — map-side combine
+   removes the near-unique bulk before the shuffle), referential
+   integrity is a broadcast left-anti join (never a shuffle of the
+   fact side), drift checks are two-phase histogram aggregations;
+3. violations = unpivot of failing flags → (key, partition, check_id,
+   detail); detail strings are built ONLY for failing rows
+   (when(fail, ...)) — the FAST-build analog;
+4. verdicts = per-partition pass/fail + counts (partial+final agg).
+
+The input `tokens`/data columns are never mutated (per-row invariant:
+byte-equality with input). SJOT's default-insertion mutation is the
+separate, opt-in `repair()` output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sjot_spark.compiler import CompiledSpec, RowCheck, compile_spec
+from sjot_spark.errors import SpecError
+from sjot_spark.spec.spec import CheckSpec
+
+VIOLATION_COLUMNS = ["key", "partition", "check_id", "detail"]
+
+
+@dataclass
+class ValidationResult:
+    flags: DataFrame        # input columns + chk_<id> booleans + passed
+    violations: DataFrame   # (key, partition, check_id, detail)
+    verdicts: DataFrame     # per partition: n_rows, n_violations, verdict
+    check_ids: list[str]
+
+    def passed(self) -> bool:
+        """Global verdict (driver-side; one small agg)."""
+        return self.verdicts.agg(
+            F.min(F.col("verdict") == "pass").alias("ok")
+        ).first()["ok"]
+
+
+class ValidationEngine:
+    """Compile once, validate any number of DataFrames of that shape."""
+
+    def __init__(self, spec: CheckSpec | dict | str):
+        self.spec = spec if isinstance(spec, CheckSpec) else CheckSpec(spec)
+        self.spec.check()
+        self._compiled: CompiledSpec | None = None
+
+    def compile(self, df: DataFrame) -> CompiledSpec:
+        return compile_spec(self.spec, df.schema)
+
+    # ------------------------------------------------------------ run
+
+    def run(
+        self,
+        df: DataFrame,
+        dims: dict[str, DataFrame] | None = None,
+        with_flags: bool = True,
+    ) -> ValidationResult:
+        dims = dims or {}
+        comp = self.compile(df)
+        key = comp.key or comp.columns[0]
+        part = comp.partition_by
+        part_col = F.col(part) if part else F.lit("_all")
+
+        flags = self._flags_df(df, comp)
+        row_viol = self._row_violations(df, comp, key, part_col)
+        plan_viols = []
+        if self.spec.table.unique:
+            plan_viols.append(self._unique_violations(df, part_col))
+        for rc in self.spec.table.refs:
+            if rc.dim not in dims:
+                raise SpecError(
+                    f"@table.ref needs dimension table {rc.dim!r} in dims=")
+            plan_viols.append(
+                self._ref_violations(df, dims[rc.dim], rc, key, part_col))
+        violations = reduce(DataFrame.unionByName, [row_viol, *plan_viols])
+
+        verdicts = self._verdicts(flags, violations, part)
+        return ValidationResult(
+            flags=flags,
+            violations=violations,
+            verdicts=verdicts,
+            check_ids=[c.check_id for c in comp.row_checks],
+        )
+
+    # ----------------------------------------------------- components
+
+    def _flags_df(self, df: DataFrame, comp: CompiledSpec) -> DataFrame:
+        """Input columns + one boolean per row-level check + passed.
+        Pure projection: no shuffle, whole-stage codegen."""
+        cols = [F.col(c) for c in df.columns]
+        flag_cols = [
+            F.coalesce(c.passed, F.lit(False)).alias(f"chk_{c.check_id}")
+            for c in comp.row_checks
+        ]
+        passed = (
+            reduce(and_, (F.coalesce(c.passed, F.lit(False))
+                          for c in comp.row_checks))
+            if comp.row_checks else F.lit(True)
+        )
+        return df.select(*cols, *flag_cols, passed.alias("passed"))
+
+    def _row_violations(
+        self, df: DataFrame, comp: CompiledSpec, key: str, part_col: Column
+    ) -> DataFrame:
+        """Unpivot failing checks into typed violation rows. Built as
+        explode(filter(array<struct>)) so passing rows contribute
+        nothing and detail strings are only computed on failure."""
+        if not comp.row_checks:
+            return self._empty_violations(df)
+        structs = [
+            F.struct(
+                F.lit(c.check_id).alias("check_id"),
+                F.coalesce(c.passed, F.lit(False)).alias("ok"),
+                F.when(
+                    ~F.coalesce(c.passed, F.lit(False)), c.detail
+                ).alias("detail"),
+            )
+            for c in comp.row_checks
+        ]
+        fails = F.filter(F.array(*structs), lambda s: ~s.getField("ok"))
+        return (
+            df.select(
+                F.col(key).cast("string").alias("key"),
+                part_col.cast("string").alias("partition"),
+                F.explode(fails).alias("v"),
+            )
+            .select("key", "partition", "v.check_id", "v.detail")
+        )
+
+    def _unique_violations(self, df: DataFrame, part_col: Column) -> DataFrame:
+        """Cross-row key uniqueness (the scaled reinterpretation of
+        SJOT's set-uniqueness, index.js:294-299): hash-partitioned
+        count per key. Map-side partial aggregation collapses the
+        near-unique bulk before the shuffle, so shuffled volume is
+        ~one row per distinct key seen per input partition; AQE
+        handles residual skew."""
+        keys = list(self.spec.table.unique)
+        grouped = (
+            df.select(*keys, part_col.alias("partition"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min("partition").alias("partition"))
+            .where(F.col("cnt") > 1)
+        )
+        kcol = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        return grouped.select(
+            kcol.alias("key"),
+            F.col("partition"),
+            F.lit("_".join(keys) + "_unique").alias("check_id"),
+            F.format_string(
+                "$.%s value %s occurs %d times but must be unique",
+                F.lit(",".join(keys)), kcol, F.col("cnt"),
+            ).alias("detail"),
+        )
+
+    def _ref_violations(
+        self, df: DataFrame, dim: DataFrame, rc, key: str, part_col: Column
+    ) -> DataFrame:
+        """Referential integrity = broadcast LEFT ANTI join against the
+        dimension (C7 in SURVEY §2.4): fact side never shuffles."""
+        dimk = (
+            dim.select(F.col(rc.dim_column).alias(rc.column)).distinct()
+        )
+        bad = df.join(F.broadcast(dimk), on=rc.column, how="left_anti")
+        return bad.select(
+            F.col(key).cast("string").alias("key"),
+            part_col.cast("string").alias("partition"),
+            F.lit(f"{rc.column}_ref").alias("check_id"),
+            F.format_string(
+                "$.%s value %s is not a member of dimension %s.%s",
+                F.lit(rc.column),
+                F.coalesce(F.col(rc.column).cast("string"), F.lit("null")),
+                F.lit(rc.dim), F.lit(rc.dim_column),
+            ).alias("detail"),
+        )
+
+    def _verdicts(
+        self, flags: DataFrame, violations: DataFrame, part: str | None
+    ) -> DataFrame:
+        """Per-partition pass/fail + counts. Row-level stats come from
+        the flags projection (partial+final agg, no extra scan logic);
+        plan-check failures are folded in via a tiny outer join on the
+        aggregated (small) side."""
+        part_col = F.col(part) if part else F.lit("_all")
+        row_stats = (
+            flags.groupBy(part_col.alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col("passed")).cast("long")).alias("n_bad_rows"),
+            )
+        )
+        plan_stats = (
+            violations.groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        return (
+            row_stats.join(plan_stats, "partition", "left")
+            .select(
+                "partition",
+                "n_rows",
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+                F.coalesce("n_bad_rows", F.lit(0)).alias("n_bad_rows"),
+                F.when(
+                    F.coalesce("n_violations", F.lit(0)) == 0, "pass"
+                ).otherwise("fail").alias("verdict"),
+            )
+        )
+
+    def _empty_violations(self, df: DataFrame) -> DataFrame:
+        return df.sparkSession.createDataFrame(
+            [], "key string, partition string, check_id string, detail string"
+        )
+
+    # ---------------------------------------------------------- extras
+
+    def approx_unique_metrics(self, df: DataFrame) -> dict:
+        """Cheap global uniqueness metric: HLL++ distinct estimate vs
+        exact row count — the sketch path from BASELINE.json
+        (north_star: 'HyperLogLog for uniqueness')."""
+        keys = list(self.spec.table.unique) or [df.columns[0]]
+        row = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[F.approx_count_distinct(k).alias(f"approx_distinct_{k}")
+              for k in keys],
+        ).first()
+        return row.asDict()
+
+    def repair(self, df: DataFrame) -> DataFrame:
+        """Opt-in analog of SJOT's default insertion (index.js:424-442,
+        1194-1244): fill null OPTIONAL columns with their declared
+        defaults. Never applied on the validation path — the main pass
+        must leave data byte-identical."""
+        root = self.spec.root
+        out = df
+        for p in getattr(root, "props", ()):  # ObjectT only
+            if p.has_default and p.name in df.columns:
+                out = out.withColumn(
+                    p.name, F.coalesce(F.col(p.name), F.lit(p.default))
+                )
+        return out

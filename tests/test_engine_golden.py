@@ -1,0 +1,127 @@
+"""Golden end-to-end test — the engine analog of the reference's one
+comprehensive test (/root/reference/dev/test.js): one spec covering
+the check classes x one table with exactly one seeded corruption per
+class; assert the exact violation rows and per-partition verdicts,
+and that `tokens` passes through byte-identical (per-row invariant).
+"""
+
+import pytest
+
+from sjot_spark.engine import ValidationEngine
+from sjot_spark.fixtures import (
+    SEQUENCE_SPEC, expected_violation_sites, make_allowed_sources,
+    make_sequences,
+)
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = make_sequences(spark, N, violations=True)
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    res = eng.run(df, dims={"allowed_sources": make_allowed_sources(spark)})
+    res.violations.cache()
+    return df, res
+
+
+def test_violations_exactly_match_seeded_sites(result):
+    _, res = result
+    got = {}
+    for r in res.violations.collect():
+        got.setdefault(r.check_id, set()).add(r.key)
+    exp_sites = expected_violation_sites(N)
+
+    def doc(i):
+        return f"doc{i:012d}"
+
+    # row-level checks: violation key = doc_id of the corrupted row
+    # (doc_id corruptions change the key itself)
+    exp = {
+        "tokens_element_range": {doc(i) for i in exp_sites["tokens_element_range"]},
+        "tokens_not_null": {doc(i) for i in exp_sites["tokens_not_null"]},
+        "tokens_len_bounds": {doc(i) for i in exp_sites["tokens_len_bounds"]},
+        "n_tok_consistency": {doc(i) for i in exp_sites["n_tok_consistency"]},
+        "n_tok_range": {doc(i) for i in exp_sites["n_tok_range"]},
+        "doc_id_format": {"DOC-xyz"},
+        # unique: one violation per duplicated VALUE; sites b and cross
+        # both took a's doc_id, so the duplicated value is doc(a)
+        "doc_id_unique": {doc(exp_sites["doc_id_unique"][0])},
+        "source_ref": {doc(i) for i in exp_sites["source_ref"]},
+    }
+    assert got == exp, f"diff: {set(got) ^ set(exp)} / " + str({
+        k: (got.get(k), exp.get(k)) for k in set(got) | set(exp)
+        if got.get(k) != exp.get(k)
+    })
+
+
+def test_violation_detail_shape(result):
+    _, res = result
+    row = res.violations.where("check_id = 'tokens_element_range'").first()
+    # SJOT-shaped diagnostic: `$.path value v is not of type t required by tp`
+    assert row.detail.startswith("$.tokens value ")
+    assert "is not of type 0..50256 required by /@root/Sequence/tokens[]" in row.detail
+    row = res.violations.where("check_id = 'n_tok_range'").orderBy("key").first()
+    assert "is not of type 1..8192" in row.detail
+
+
+def test_verdicts_per_partition(result):
+    _, res = result
+    verd = {r.partition: r for r in res.verdicts.collect()}
+    assert set(verd) >= {"web", "books"}  # skewed gen covers the big sources
+    bad_parts = {
+        r.partition for r in res.violations.collect()
+    }
+    for p, r in verd.items():
+        assert r.verdict == ("fail" if p in bad_parts else "pass"), p
+    # n_rows sums to N
+    assert sum(r.n_rows for r in verd.values()) == N
+
+
+def test_tokens_pass_through_unmutated(result, spark):
+    df, res = result
+    # per-row invariant: flags output carries every input row (incl.
+    # tokens) byte-identical — compare multiset fingerprints, which is
+    # robust to the seeded duplicate doc_ids
+    from pyspark.sql import functions as F
+
+    def fingerprint(d):
+        h = F.xxhash64("doc_id", "tokens", "n_tok", "source")
+        return d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))").alias("x"),
+        ).first()
+
+    assert fingerprint(df) == fingerprint(
+        res.flags.select("doc_id", "tokens", "n_tok", "source")
+    )
+
+
+def test_clean_table_all_pass(spark):
+    df = make_sequences(spark, 500, violations=False)
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    res = eng.run(df, dims={"allowed_sources": make_allowed_sources(spark)})
+    assert res.violations.count() == 0
+    assert res.passed() is True
+    assert all(r.verdict == "pass" for r in res.verdicts.collect())
+
+
+def test_approx_unique_metrics(spark):
+    df = make_sequences(spark, 500, violations=False)
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    m = eng.approx_unique_metrics(df)
+    assert m["rows"] == 500
+    # HLL++ default rsd=5%
+    assert abs(m["approx_distinct_doc_id"] - 500) <= 50
+
+
+def test_repair_is_separate_and_fills_defaults(spark):
+    eng = ValidationEngine({
+        "@root": "#T",
+        "T": {"a": "string", "b?7": "int"},
+        "@table": {"key": "a"},
+    })
+    df = spark.createDataFrame([("x", None), ("y", 3)], "a string, b int")
+    fixed = eng.repair(df)
+    assert {(r.a, r.b) for r in fixed.collect()} == {("x", 7), ("y", 3)}
