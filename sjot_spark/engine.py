@@ -225,6 +225,34 @@ class ValidationEngine:
             [], "key string, partition string, check_id string, detail string"
         )
 
+    # ----------------------------------------------------------- drift
+
+    def profile(self, df: DataFrame) -> dict[str, DataFrame]:
+        """Build the baseline histogram profile for every @table.drift
+        clause (persist these; they are the drift reference)."""
+        from sjot_spark.plan import drift as _drift
+
+        return {
+            c.name: _drift.build_histogram(df, c) for c in self.spec.table.drift
+        }
+
+    def drift(
+        self, df: DataFrame, baselines: dict[str, DataFrame]
+    ) -> list[dict]:
+        """Run every @table.drift clause against stored baseline
+        histograms; returns per-(check, group) verdict dicts. The
+        heavy part is the histogram aggregation; the statistical test
+        runs driver-side on the tiny merged histograms."""
+        from sjot_spark.plan import drift as _drift
+
+        out: list[dict] = []
+        for c in self.spec.table.drift:
+            if c.name not in baselines:
+                raise SpecError(f"@table.drift needs baseline for {c.name!r}")
+            cur = _drift.build_histogram(df, c)
+            out.extend(_drift.drift_test(cur, baselines[c.name], c))
+        return out
+
     # ---------------------------------------------------------- extras
 
     def approx_unique_metrics(self, df: DataFrame) -> dict:

@@ -1,0 +1,109 @@
+"""Drift checks: numpy stat kernels vs known values; profile-accept /
+drifted-reject end-to-end (FIXTURES.md §3)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sjot_spark.engine import ValidationEngine
+from sjot_spark.fixtures import SEQUENCE_SPEC, drifted_sequences, make_sequences
+from sjot_spark.plan import stats
+
+DRIFT_SPEC = {
+    **SEQUENCE_SPEC,
+    "@table": {
+        "key": "doc_id",
+        "partition_by": "source",
+        "drift": {
+            "len_hist": {"kind": "length_histogram", "column": "tokens",
+                          "bucket_width": 64, "group_by": "source",
+                          "test": "chi2", "alpha": 0.001},
+            "id_hist": {"kind": "value_histogram", "column": "tokens",
+                         "bucket_width": 1024, "group_by": None,
+                         "test": "chi2", "alpha": 0.001},
+            "len_ks": {"kind": "length_histogram", "column": "tokens",
+                        "bucket_width": 64, "group_by": None,
+                        "test": "ks", "alpha": 0.001},
+        },
+    },
+}
+
+
+# ------------------------------------------------------ stat kernels
+
+def test_chi2_sf_known_values():
+    # classic critical values
+    assert stats.chi2_sf(3.841, 1) == pytest.approx(0.05, abs=2e-3)
+    assert stats.chi2_sf(11.070, 5) == pytest.approx(0.05, abs=2e-3)
+    assert stats.chi2_sf(0.0, 5) == 1.0
+    assert stats.chi2_sf(100.0, 5) < 1e-15
+    # continuity across the series/contfrac switch (x = a+1)
+    a = 3.0
+    lo = stats.gammainc_q(a, a + 1 - 1e-9)
+    hi = stats.gammainc_q(a, a + 1 + 1e-9)
+    assert lo == pytest.approx(hi, rel=1e-6)
+
+
+def test_chi2_test_identical_and_shifted():
+    obs = np.array([100, 200, 300, 400])
+    stat, p, dof = stats.chi2_test(obs, obs * 5)  # same shape, scaled
+    assert stat == pytest.approx(0.0) and p == 1.0
+    stat, p, _ = stats.chi2_test(obs, obs[::-1])
+    assert p < 1e-10
+
+
+def test_ks_known_values():
+    # Kolmogorov tail: Q(1.358) ~= 0.05
+    assert stats.ks_tail(1.358) == pytest.approx(0.05, abs=2e-3)
+    assert stats.ks_tail(0.0) == 1.0
+    d, p = stats.ks_2samp_from_hist([10, 20, 30], [10, 20, 30])
+    assert d == 0.0 and p == 1.0
+    d, p = stats.ks_2samp_from_hist([1000, 0, 0], [0, 0, 1000])
+    assert d == pytest.approx(1.0) and p < 1e-10
+
+
+# ------------------------------------------------------- end to end
+
+@pytest.fixture(scope="module")
+def engine():
+    return ValidationEngine(DRIFT_SPEC)
+
+
+def test_uncorrupted_regeneration_accepts(spark, engine):
+    base = engine.profile(make_sequences(spark, 4000, violations=False))
+    # a DIFFERENT sample from the same distribution (different seed)
+    cur = make_sequences(spark, 4000, seed=777, violations=False)
+    results = engine.drift(cur, base)
+    assert results, "no drift results produced"
+    bad = [r for r in results if r["verdict"] != "pass"]
+    assert not bad, bad
+
+
+def test_length_drift_rejected(spark, engine):
+    base = engine.profile(make_sequences(spark, 4000, violations=False))
+    cur = drifted_sequences(spark, 4000, seed=777, kind="length")
+    results = engine.drift(cur, base)
+    by_check = {}
+    for r in results:
+        by_check.setdefault(r["check_id"], []).append(r)
+    # +50% web length shift: len_hist must fail for web, pass elsewhere
+    webs = [r for r in by_check["len_hist"] if r["group"] == "web"]
+    assert webs and all(r["verdict"] == "fail" for r in webs)
+    others = [r for r in by_check["len_hist"]
+              if r["group"] in ("books", "code") ]
+    assert others and all(r["verdict"] == "pass" for r in others)
+    # global KS on lengths must also trip (web is 55% of rows)
+    assert all(r["verdict"] == "fail" for r in by_check["len_ks"])
+
+
+def test_tokenid_drift_rejected(spark, engine):
+    base = engine.profile(make_sequences(spark, 2000, violations=False))
+    cur = drifted_sequences(spark, 2000, seed=777, kind="ids")
+    results = engine.drift(cur, base)
+    ids = [r for r in results if r["check_id"] == "id_hist"]
+    assert ids and all(r["verdict"] == "fail" for r in ids)
+    # and the id histogram must NOT trip on a clean resample
+    clean = make_sequences(spark, 2000, seed=888, violations=False)
+    ids2 = [r for r in engine.drift(clean, base) if r["check_id"] == "id_hist"]
+    assert ids2 and all(r["verdict"] == "pass" for r in ids2)
