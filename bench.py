@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Times the headline workloads and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "sequences_per_sec": ...}
+
+Workloads:
+- seq_validate: the flagship — full validation (all row checks +
+  uniqueness agg + broadcast ref join + verdicts) over a generated
+  sequences table of $SPARK_GRAFT_BENCH_ROWS rows (default 2M,
+  ~750M tokens). The table is generated once and cached as parquet in
+  /tmp so the timing measures VALIDATION, not generation.
+- seq_drift: histogram build (JVM length hist + Arrow token-id hist)
+  + drift tests vs a profile.
+- driver-table queries at $SPARK_GRAFT_SF_DIR (default sf0.1):
+  validation over documents, dedup, knn, sessionization, TPC-H joins.
+
+Scaling evidence (north_rule): run `python bench.py --scaling` to
+execute seq_validate at local[8] and local[32] on the SAME input in
+separate JVMs and report throughput + efficiency (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEQ_CACHE = f"/tmp/sjot_bench/seq_{BENCH_ROWS}_v1"
+
+
+def _ensure_seq_table(spark):
+    import sjot_spark.fixtures as fx
+
+    if not os.path.exists(os.path.join(SEQ_CACHE, "_SUCCESS")):
+        (fx.make_sequences(spark, BENCH_ROWS, violations=True,
+                           partitions=max(CPUS * 4, 32))
+         .write.mode("overwrite").parquet(SEQ_CACHE))
+    return spark.read.parquet(SEQ_CACHE)
+
+
+def bench_seq_validate(spark) -> tuple[float, dict]:
+    from sjot_spark.engine import ValidationEngine
+    from sjot_spark.fixtures import SEQUENCE_SPEC, make_allowed_sources
+
+    df = _ensure_seq_table(spark)
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    dims = {"allowed_sources": make_allowed_sources(spark)}
+    t0 = time.perf_counter()
+    res = eng.run(df, dims=dims)
+    n_viol = res.violations.count()
+    verd = res.verdicts.collect()
+    dt = time.perf_counter() - t0
+    n_rows = sum(r["n_rows"] for r in verd)
+    return dt, {"rows": n_rows, "violations": n_viol,
+                "rows_per_sec": round(n_rows / dt, 1)}
+
+
+def bench_seq_drift(spark) -> float:
+    from sjot_spark.engine import ValidationEngine
+    from sjot_spark.fixtures import SEQUENCE_SPEC
+
+    spec = {k: v for k, v in SEQUENCE_SPEC.items() if k != "@table"}
+    spec["@table"] = {
+        "key": "doc_id", "partition_by": "source",
+        "drift": {
+            "len_hist": {"kind": "length_histogram", "column": "tokens",
+                          "bucket_width": 64, "group_by": "source"},
+            "id_hist": {"kind": "value_histogram", "column": "tokens",
+                         "bucket_width": 1024, "group_by": None},
+        },
+    }
+    eng = ValidationEngine(spec)
+    df = _ensure_seq_table(spark)
+    base = {k: v.localCheckpoint() for k, v in eng.profile(df.limit(200000)).items()}
+    t0 = time.perf_counter()
+    results = eng.drift(df, base)
+    assert results
+    return time.perf_counter() - t0
+
+
+DRIVER_QUERIES = [
+    "validate_violations", "text_profile", "exact_dedup_stats",
+    "ngram_jaccard", "minhash_lsh", "knn_cosine", "sessionization",
+    "tpch_q1", "tpch_q3", "tpch_q5",
+]
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sjot_spark.queries import QUERIES
+    from sjot_spark.session import get_spark
+
+    spark = get_spark(app_name="sjot_bench")
+    timings: dict[str, float] = {}
+
+    t, extra = bench_seq_validate(spark)
+    timings["seq_validate"] = round(t, 3)
+    timings["seq_drift"] = round(bench_seq_drift(spark), 3)
+
+    for name in DRIVER_QUERIES:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "validated sequences/sec (all checks incl. uniqueness, "
+                  "ref integrity, verdicts) + headline query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "bench_rows": extra["rows"],
+        "sequences_per_sec": extra["rows_per_sec"],
+        "violations_found": extra["violations"],
+        "cpus": CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same seq_validate job at local[8] and local[32] on identical
+    cached input, each in a fresh JVM (subprocess). Efficiency =
+    T8 / (4 * T32) per the 'N vs 4N executors >= 0.8' criterion."""
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_ROWS=str(BENCH_ROWS))
+        r = subprocess.run(
+            [sys.executable, __file__, "--single-validate"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["sec"], out[32]["sec"]
+    return {
+        "metric": "scaling efficiency local[8] -> local[32] (N -> 4N)",
+        "value": round(t8 / (4 * t32), 3),
+        "unit": "efficiency",
+        "t_local8_sec": t8, "t_local32_sec": t32,
+        "rows": out[32]["rows"],
+        "rows_per_sec_local8": round(out[8]["rows"] / t8, 1),
+        "rows_per_sec_local32": round(out[32]["rows"] / t32, 1),
+    }
+
+
+def run_single_validate() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sjot_spark.session import get_spark
+
+    spark = get_spark(app_name=f"sjot_scale_{CPUS}")
+    _ensure_seq_table(spark)  # warm cache outside timing
+    t, extra = bench_seq_validate(spark)
+    return {"sec": round(t, 3), "rows": extra["rows"], "cpus": CPUS}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--single-validate" in sys.argv:
+        print(json.dumps(run_single_validate()))
+    else:
+        print(json.dumps(run_bench()))

@@ -67,8 +67,12 @@ class ValidationEngine:
         self,
         df: DataFrame,
         dims: dict[str, DataFrame] | None = None,
-        with_flags: bool = True,
+        persist_violations: bool = True,
     ) -> ValidationResult:
+        """``persist_violations`` caches the (small) violations output
+        (memory+disk) so materializing violations AND verdicts costs
+        one pass over the input, not two. Disable for streaming or
+        when violations go straight to a sink."""
         dims = dims or {}
         comp = self.compile(df)
         key = comp.key or comp.columns[0]
@@ -87,13 +91,22 @@ class ValidationEngine:
             plan_viols.append(
                 self._ref_violations(df, dims[rc.dim], rc, key, part_col))
         violations = reduce(DataFrame.unionByName, [row_viol, *plan_viols])
+        if persist_violations:
+            from pyspark import StorageLevel
 
-        verdicts = self._verdicts(flags, violations, part)
+            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # verdicts derive from the (tiny) violations output plus one
+        # column-pruned row-count scan — NOT a second full check pass.
+        # At sink scale the same shape applies: aggregate the
+        # violations sink, never re-validate.
+        row_check_ids = [c.check_id for c in comp.row_checks]
+        verdicts = self._verdicts(df, violations, part, row_check_ids)
         return ValidationResult(
             flags=flags,
             violations=violations,
             verdicts=verdicts,
-            check_ids=[c.check_id for c in comp.row_checks],
+            check_ids=row_check_ids,
         )
 
     # ----------------------------------------------------- components
@@ -189,29 +202,33 @@ class ValidationEngine:
         )
 
     def _verdicts(
-        self, flags: DataFrame, violations: DataFrame, part: str | None
+        self, df: DataFrame, violations: DataFrame, part: str | None,
+        row_check_ids: list[str],
     ) -> DataFrame:
-        """Per-partition pass/fail + counts. Row-level stats come from
-        the flags projection (partial+final agg, no extra scan logic);
-        plan-check failures are folded in via a tiny outer join on the
-        aggregated (small) side."""
+        """Per-partition pass/fail + counts, computed from the
+        violations output (tiny) + a row-count scan that prunes to the
+        partition column only — the expensive check expressions run
+        exactly once, in the violations pass. ``n_bad_rows`` = number
+        of distinct keys with a failing ROW-LEVEL check."""
         part_col = F.col(part) if part else F.lit("_all")
         row_stats = (
-            flags.groupBy(part_col.alias("partition"))
+            df.groupBy(part_col.cast("string").alias("partition"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        vio_stats = (
+            violations.groupBy("partition")
             .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum((~F.col("passed")).cast("long")).alias("n_bad_rows"),
+                F.count(F.lit(1)).alias("n_violations"),
+                F.countDistinct(
+                    F.when(F.col("check_id").isin(row_check_ids), F.col("key"))
+                ).alias("n_bad_rows"),
             )
         )
-        plan_stats = (
-            violations.groupBy("partition")
-            .agg(F.count(F.lit(1)).alias("n_violations"))
-        )
         return (
-            row_stats.join(plan_stats, "partition", "left")
+            row_stats.join(vio_stats, "partition", "full")
             .select(
                 "partition",
-                "n_rows",
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
                 F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
                 F.coalesce("n_bad_rows", F.lit(0)).alias("n_bad_rows"),
                 F.when(

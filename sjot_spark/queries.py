@@ -1,0 +1,532 @@
+"""Driver-contract queries: every entry has a Spark implementation
+(spark, sf_dir) -> DataFrame and (where SQL-expressible) an ANSI-SQL
+twin run by DuckDB on the same parquet — the correctness oracle.
+
+Cross-engine comparison rules used throughout:
+- metrics are integer- or decimal-valued (never raw float aggregates);
+- ranks/top-k always carry a deterministic tie-break;
+- hash/fingerprint functions are md5-based (identical in DuckDB);
+- output column names are identical on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sjot_spark.datapipe import dedup, similarity, text
+from sjot_spark.engine import ValidationEngine
+
+ALLOWED_SOURCES = [f"src{i}" for i in range(15)]  # src15+ violate ref
+
+DOC_SPEC = {
+    "@root": "#Document",
+    "Document": {
+        "doc_id": "0..",
+        "text": "string",
+        "lang": "(en|fr|de|es)",     # zh violates -> lang_format
+        "source": "(src\\d+)",
+        "n_chars": "1..400",         # long docs violate -> n_chars_range
+    },
+    "@table": {
+        "key": "doc_id",
+        "partition_by": "source",
+        "unique": ["doc_id"],
+        "consistent": {"n_chars": "length(text)"},
+        "ref": {"source": {"dim": "allowed_sources", "column": "source"}},
+    },
+}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dims(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "allowed_sources": spark.createDataFrame(
+            [(s,) for s in ALLOWED_SOURCES], "source string")
+    }
+
+
+def _doc_result(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return ValidationEngine(DOC_SPEC).run(docs, dims=_dims(spark))
+
+
+# ------------------------------------------------------ validation ops
+
+def q_validate_violations(spark, sf_dir):
+    """E1/E7: typed violation rows over the documents table."""
+    return _doc_result(spark, sf_dir).violations \
+        .select("key", F.col("partition").alias("part"), "check_id")
+
+
+def q_validate_verdicts(spark, sf_dir):
+    """Per-partition pass/fail verdicts (E2 + verdict agg)."""
+    return _doc_result(spark, sf_dir).verdicts \
+        .select(F.col("partition").alias("part"), "n_rows",
+                "n_violations", "n_bad_rows", "verdict")
+
+
+_VIOL_SQL = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS key, source AS part,
+           'lang_format' AS check_id
+    FROM documents WHERE NOT regexp_full_match(lang, 'en|fr|de|es')
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), source, 'n_chars_range'
+    FROM documents WHERE n_chars < 1 OR n_chars > 400
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), source, 'n_chars_consistency'
+    FROM documents WHERE n_chars != length(text)
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), source, 'source_ref'
+    FROM documents
+    WHERE source NOT IN ({",".join(repr(s) for s in ALLOWED_SOURCES)})
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), source, 'source_format'
+    FROM documents WHERE NOT regexp_full_match(source, 'src\\d+')
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), source, 'doc_id_range'
+    FROM documents WHERE doc_id < 0
+"""
+
+ORACLE_VIOLATIONS = f"SELECT key, part, check_id FROM ({_VIOL_SQL})"
+
+ORACLE_VERDICTS = f"""
+WITH viol AS ({_VIOL_SQL}),
+vc AS (SELECT part, COUNT(*) AS n_violations FROM viol GROUP BY part),
+bad AS (
+  SELECT source AS part,
+         COUNT(DISTINCT doc_id) FILTER (
+             WHERE NOT regexp_full_match(lang,'en|fr|de|es')
+             OR n_chars < 1 OR n_chars > 400
+             OR n_chars != length(text)
+             OR NOT regexp_full_match(source, 'src\\d+')
+             OR doc_id < 0) AS n_bad_rows,
+         COUNT(*) AS n_rows
+  FROM documents GROUP BY source)
+SELECT bad.part, n_rows, COALESCE(n_violations, 0) AS n_violations,
+       n_bad_rows,
+       CASE WHEN COALESCE(n_violations,0)=0 THEN 'pass' ELSE 'fail' END AS verdict
+FROM bad LEFT JOIN vc ON bad.part = vc.part
+"""
+
+
+# ----------------------------------------------------- text analysis
+
+def q_text_profile(spark, sf_dir):
+    return text.profile_documents(load(spark, sf_dir, "documents"))
+
+
+def _sql_word_count(word: str) -> str:
+    return f"(len(string_split(' ' || text || ' ', ' {word} ')) - 1)"
+
+
+ORACLE_TEXT_PROFILE = f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
+       SUM({" + ".join(_sql_word_count(w) for w in text.STOPWORDS)}) AS sum_stop_hits,
+       SUM(n_chars) AS sum_chars,
+       MAX(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS max_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_lang_id_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(_sql_word_count(w) for w in text.LANG_MARKERS[lang])
+
+
+def _oracle_lang_id() -> str:
+    cases = []
+    for lang in text.LANG_MARKERS:
+        others = [l2 for l2 in text.LANG_MARKERS if l2 != lang]
+        cond = f"s_{lang} > 0 AND " + " AND ".join(
+            f"s_{lang} > s_{o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    scores = ",\n  ".join(
+        f"({_sql_lang_score(lang)}) AS s_{lang}" for lang in text.LANG_MARKERS)
+    return f"""
+WITH scored AS (SELECT lang, {scores} FROM documents)
+SELECT lang, CASE {' '.join(cases)} ELSE 'und' END AS guessed,
+       COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_quality_classes(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            text.quality_class(
+                F.col("n_chars"), text.token_count(F.col("text"))
+            ).alias("quality"),
+        )
+        .groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_QUALITY = """
+SELECT source,
+       CASE WHEN n_chars < 100 THEN 'short'
+            WHEN n_chars < 300 THEN 'mid' ELSE 'long' END AS quality,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- dedup
+
+def q_exact_dedup_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+ORACLE_DUP_GROUPS = """
+SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id < 120),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t)-2)) AS g(i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter >= 0.3 * (sa.sz + sb.sz - inter)
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (rows-only driver check: the banded
+    LSH pipeline is not reasonably expressible in one SQL statement)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                   n=3, k=16, bands=4, verify_threshold=0.3)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# -------------------------------------------------------- similarity
+
+def q_knn_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        emb, "vec_id", "embedding", [0, 1, 2], k=5
+    ).select("query_id", "neighbor_id", "rank")
+
+
+ORACLE_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id
+       ) AS rank
+FROM embeddings, q WHERE vec_id != query_id
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH ANN (rows-only driver check; verified against the
+    brute-force baseline in tests/test_datapipe.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh(emb, "vec_id", "embedding", [0, 1, 2],
+                              k=5, dim=64, n_planes=16, max_hamming=6)
+
+
+# ------------------------------------------------------------ events
+
+def q_events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionization(spark, sf_dir):
+    """30-minute-gap sessionization via window functions."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZATION = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_top_events_per_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+ORACLE_TOP_EVENTS = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+         AS rank
+FROM events QUALIFY rank <= 3
+"""
+
+
+# ------------------------------------------------------------- tpch
+
+def q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("l_shipdate") > "1996-01-01")
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-01-01'
+  AND l_shipdate > '1996-01-01'
+GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), (li.l_suppkey == su.s_suppkey)
+              & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+  AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "validate_violations": q_validate_violations,
+    "validate_verdicts": q_validate_verdicts,
+    "text_profile": q_text_profile,
+    "lang_id_counts": q_lang_id_counts,
+    "quality_classes": q_quality_classes,
+    "exact_dedup_stats": q_exact_dedup_stats,
+    "exact_dup_groups": q_exact_dup_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_cosine": q_knn_cosine,
+    "ann_lsh": q_ann_lsh,
+    "events_hourly": q_events_hourly,
+    "sessionization": q_sessionization,
+    "top_events_per_user": q_top_events_per_user,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+}
+
+ORACLES = {
+    "validate_violations": ORACLE_VIOLATIONS,
+    "validate_verdicts": ORACLE_VERDICTS,
+    "text_profile": ORACLE_TEXT_PROFILE,
+    "lang_id_counts": _oracle_lang_id(),
+    "quality_classes": ORACLE_QUALITY,
+    "exact_dedup_stats": ORACLE_EXACT_DEDUP,
+    "exact_dup_groups": ORACLE_DUP_GROUPS,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # minhash_lsh, simhash_pairs, ann_lsh: rows-only (not SQL-expressible)
+    "knn_cosine": ORACLE_KNN,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "sessionization": ORACLE_SESSIONIZATION,
+    "top_events_per_user": ORACLE_TOP_EVENTS,
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q3": ORACLE_TPCH_Q3,
+    "tpch_q5": ORACLE_TPCH_Q5,
+    "tpch_q6": ORACLE_TPCH_Q6,
+}

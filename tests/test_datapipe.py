@@ -1,0 +1,160 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sjot_spark.datapipe import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "web"),   # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "books"),   # near dup
+        (4, "completely different content about spark engines", "web"),
+        (5, "le chat et le chien et le oiseau", "web"),              # fr-ish
+        (6, "der hund und die katze und der vogel", "web"),          # de-ish
+        (7, "", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_shingles_and_jaccard(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): (r.inter, r.uni)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs  # identical: inter == uni
+    i, u = pairs[(1, 2)]
+    assert i == u
+    # one-word edit: 4 common 3-grams of 10 total -> jaccard 0.4
+    assert pairs[(1, 3)] == (4, 10)
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in got  # identical text always collides
+    assert all({a, b} != {1, 4} for a, b in got)
+
+
+def test_simhash_near_pairs(docs):
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text",
+                                          max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0  # identical -> same signature
+    assert all({a, b} != {1, 4} for a, b in got)
+
+
+def test_token_count_and_stopwords(docs, spark):
+    out = {
+        r.doc_id: (r.n, r.s)
+        for r in docs.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("n"),
+            text.stopword_hits(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[1][0] == 9
+    assert out[7][0] == 0
+    assert out[1][1] == 2  # 'the' twice ('a' appears zero times delimited)
+
+
+def test_lang_id(docs):
+    out = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id", text.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[5] == "fr"
+    assert out[6] == "de"
+    assert out[7] == "und"
+    assert out[4] == "und"  # no markers
+
+
+def test_knn_bruteforce_and_lsh_agree_on_top1(spark):
+    # 40 vectors in 8-d: two tight clusters + noise
+    rng = np.random.RandomState(7)
+    base_a = rng.rand(8)
+    base_b = -rng.rand(8)
+    rows = []
+    for i in range(40):
+        base = base_a if i % 2 == 0 else base_b
+        v = base + rng.rand(8) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    exact = similarity.knn_bruteforce(df, "vec_id", "embedding", [0, 1], k=3)
+    ex = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    # same-cluster neighbors only
+    assert ex[(0, 1)] % 2 == 0 and ex[(1, 1)] % 2 == 1
+    approx = similarity.ann_lsh(df, "vec_id", "embedding", [0, 1], k=3,
+                                dim=8, n_planes=12, max_hamming=3)
+    ap = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
+    # LSH with generous hamming must recover the exact top-1
+    assert ap[(0, 1)] == ex[(0, 1)]
+    assert ap[(1, 1)] == ex[(1, 1)]
+
+
+def test_cosine_dup_candidates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r.doc_a, r.doc_b) for r in similarity.cosine_dup_candidates(
+        df, "vec_id", "embedding", dim=4, n_planes=8, threshold=0.95
+    ).collect()}
+    assert (1, 2) in got
+    assert all({a, b} != {1, 3} for a, b in got)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.make_media_fixture(spark, 32)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r.n_bytes == 64  # 4 x md5-hex -> 64 bytes
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5
+    # determinism: same seed -> same features
+    again = multimodal.extract_features(multimodal.make_media_fixture(spark, 32))
+    assert sorted(map(tuple, (r.feature for r in rows))) == \
+           sorted(map(tuple, (r.feature for r in again.collect())))
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.make_media_fixture(spark, 12)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    per = {}
+    for r in frames.collect():
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    # duration_ms = (id%5)*1000+1000 -> id%5+1 frames
+    for mid, idxs in per.items():
+        i = int(mid[1:])
+        assert sorted(idxs) == list(range(i % 5 + 1))
+
+
+def test_real_decode_is_gated(spark):
+    if multimodal.HAVE_PIL:
+        pytest.skip("PIL installed; stub gate not applicable")
+    with pytest.raises(NotImplementedError, match="requires PIL"):
+        multimodal.decode_image(b"xx")
