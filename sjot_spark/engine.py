@@ -134,6 +134,12 @@ class ValidationEngine:
         nothing and detail strings are only computed on failure."""
         if not comp.row_checks:
             return self._empty_violations(df)
+        # filter first: the scan evaluates each check once per row and
+        # drops passing rows, so the struct-array + detail-string
+        # projection below only ever runs on the (rare) failing rows
+        all_pass = reduce(
+            and_, (F.coalesce(c.passed, F.lit(False)) for c in comp.row_checks)
+        )
         structs = [
             F.struct(
                 F.lit(c.check_id).alias("check_id"),
@@ -146,7 +152,8 @@ class ValidationEngine:
         ]
         fails = F.filter(F.array(*structs), lambda s: ~s.getField("ok"))
         return (
-            df.select(
+            df.where(~all_pass)
+            .select(
                 F.col(key).cast("string").alias("key"),
                 part_col.cast("string").alias("partition"),
                 F.explode(fails).alias("v"),

@@ -530,3 +530,83 @@ ORACLES = {
     "tpch_q5": ORACLE_TPCH_Q5,
     "tpch_q6": ORACLE_TPCH_Q6,
 }
+
+
+# ------------------------------------------- reports / multi-grain
+
+def q_verdict_rollup(spark, sf_dir):
+    """Violation counts at multiple grains via ROLLUP (grouping sets):
+    (part, check_id), (part), () — 'free built-ins' for multi-grain
+    verdicts (SURVEY.md §2.7)."""
+    v = q_validate_violations(spark, sf_dir)
+    return (
+        v.rollup("part", "check_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("part", F.lit("(all)")).alias("part"),
+            F.coalesce("check_id", F.lit("(all)")).alias("check_id"),
+            "n",
+        )
+    )
+
+
+ORACLE_VERDICT_ROLLUP = f"""
+WITH viol AS ({_VIOL_SQL})
+SELECT COALESCE(part, '(all)') AS part,
+       COALESCE(check_id, '(all)') AS check_id,
+       COUNT(*) AS n
+FROM viol GROUP BY ROLLUP (part, check_id)
+"""
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact length percentiles per source (the oracle-checkable twin
+    of the percentile_approx sketch used at scale — see
+    ValidationEngine docs / SURVEY §2.7)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_LENGTH_QUANTILES = """
+SELECT source, quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.95) AS p95,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_top_violating_sources(spark, sf_dir):
+    """Top-k report: sources ranked by violation count (window
+    ranking over an aggregate, deterministic tie-break)."""
+    v = q_validate_violations(spark, sf_dir)
+    counts = v.groupBy("part").agg(F.count(F.lit(1)).alias("n_viol"))
+    w = Window.orderBy(F.desc("n_viol"), F.asc("part"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+
+
+ORACLE_TOP_VIOLATING = f"""
+WITH viol AS ({_VIOL_SQL}),
+counts AS (SELECT part, COUNT(*) AS n_viol FROM viol GROUP BY part)
+SELECT part, n_viol,
+       row_number() OVER (ORDER BY n_viol DESC, part) AS rank
+FROM counts QUALIFY rank <= 5
+"""
+
+
+QUERIES.update({
+    "verdict_rollup": q_verdict_rollup,
+    "length_quantiles": q_length_quantiles,
+    "top_violating_sources": q_top_violating_sources,
+})
+ORACLES.update({
+    "verdict_rollup": ORACLE_VERDICT_ROLLUP,
+    "length_quantiles": ORACLE_LENGTH_QUANTILES,
+    "top_violating_sources": ORACLE_TOP_VIOLATING,
+})
