@@ -249,6 +249,40 @@ class ValidationEngine:
             [], "key string, partition string, check_id string, detail string"
         )
 
+    # ------------------------------------------- per-partition overrides
+
+    def run_with_overrides(
+        self,
+        df: DataFrame,
+        overrides: dict[str, "CheckSpec | dict"],
+        dims: dict[str, DataFrame] | None = None,
+    ) -> ValidationResult:
+        """Validate partition slices under specialized specs — the
+        fixed-schema analog of SJOT's embedded per-object ``@sjot``
+        schemas (/root/reference/index.js:111-131): instead of each
+        record carrying its own schema, each ``partition_by`` value
+        may carry its own spec; unlisted partitions use this engine's
+        base spec. Violations/verdicts are unioned."""
+        part = self.spec.table.partition_by
+        if not part:
+            raise SpecError("run_with_overrides needs @table.partition_by")
+        listed = list(overrides)
+        base_res = self.run(df.where(~F.col(part).isin(listed)), dims=dims)
+        results = [base_res]
+        for value, spec in overrides.items():
+            eng = ValidationEngine(spec)
+            results.append(eng.run(df.where(F.col(part) == value), dims=dims))
+        violations = reduce(
+            DataFrame.unionByName, (r.violations for r in results))
+        verdicts = reduce(
+            DataFrame.unionByName, (r.verdicts for r in results))
+        return ValidationResult(
+            flags=base_res.flags,
+            violations=violations,
+            verdicts=verdicts,
+            check_ids=sorted({c for r in results for c in r.check_ids}),
+        )
+
     # ----------------------------------------------------------- drift
 
     def profile(self, df: DataFrame) -> dict[str, DataFrame]:

@@ -125,3 +125,32 @@ def test_repair_is_separate_and_fills_defaults(spark):
     df = spark.createDataFrame([("x", None), ("y", 3)], "a string, b int")
     fixed = eng.repair(df)
     assert {(r.a, r.b) for r in fixed.collect()} == {("x", 7), ("y", 3)}
+
+
+def test_per_partition_spec_overrides(spark):
+    """E6 analog: a stricter spec for one source, base spec elsewhere."""
+    from sjot_spark.fixtures import VOCAB
+
+    df = make_sequences(spark, 500, violations=False)
+    strict = {
+        "@root": "#Sequence",
+        "Sequence": {
+            "doc_id": "(doc\\d{12})",
+            "tokens": f"0..{VOCAB - 1}[1,64]",   # much tighter len bound
+            "n_tok": "1..64",
+            "source": "string",
+        },
+        "@table": {"key": "doc_id", "partition_by": "source"},
+    }
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    res = eng.run_with_overrides(
+        df, {"code": strict},
+        dims={"allowed_sources": make_allowed_sources(spark)})
+    viols = res.violations.collect()
+    assert viols  # code rows longer than 64 tokens violate the override
+    assert {r.partition for r in viols} == {"code"}
+    assert {r.check_id for r in viols} <= {"tokens_len_bounds", "n_tok_range",
+                                           "n_tok_consistency"}
+    verd = {r.partition: r.verdict for r in res.verdicts.collect()}
+    assert verd["code"] == "fail"
+    assert verd.get("web") == "pass"
