@@ -52,6 +52,12 @@ def bench_seq_validate(spark) -> tuple[float, dict]:
     df = _ensure_seq_table(spark)
     eng = ValidationEngine(SEQUENCE_SPEC)
     dims = {"allowed_sources": make_allowed_sources(spark)}
+    # untimed warmup on a slice: JIT + codegen + parquet footers, so
+    # the timed run measures steady-state throughput, not JVM startup
+    warm = eng.run(df.limit(50_000), dims=dims, persist_violations=False)
+    warm.violations.count()
+    warm.verdicts.collect()
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     res = eng.run(df, dims=dims)
     n_viol = res.violations.count()

@@ -610,3 +610,23 @@ ORACLES.update({
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
     "top_violating_sources": ORACLE_TOP_VIOLATING,
 })
+
+
+def q_length_histogram(spark, sf_dir):
+    """The drift length-histogram operator, oracle-checked: bucketized
+    n_chars counts per source (sjot_spark.plan.drift.length_histogram)."""
+    from sjot_spark.plan.drift import length_histogram
+
+    docs = load(spark, sf_dir, "documents")
+    return length_histogram(docs, "n_chars", 64, "source") \
+        .withColumnsRenamed({"group": "source"})
+
+
+ORACLE_LENGTH_HISTOGRAM = """
+SELECT source, CAST(floor(n_chars / 64) AS INT) AS bucket,
+       COUNT(*) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+QUERIES["length_histogram"] = q_length_histogram
+ORACLES["length_histogram"] = ORACLE_LENGTH_HISTOGRAM

@@ -110,11 +110,14 @@ def check_union(u: UnionT, resolve) -> None:
     members are rejected by the reference)."""
     if len(u.members) == 0:
         raise SpecError("empty union")
-    seen: dict[tuple[int, str], frozenset] = {}
+    seen: list[tuple[int, str, frozenset, bool]] = []
     for m in u.members:
         depth, cls, props = _union_class(m, resolve)
-        for other_key, other_props in seen.items():
-            od, ocls = other_key
+        node = m
+        while isinstance(node, Ref):
+            node = resolve(node.name)
+        has_ifthen = isinstance(node, ObjectT) and bool(node.if_then)
+        for od, ocls, other_props, other_ifthen in seen:
             if od != depth:
                 continue
             conflict = (
@@ -123,13 +126,19 @@ def check_union(u: UnionT, resolve) -> None:
                 or ("atom" in (ocls, cls) and {ocls, cls} & {"boolean", "number", "string", "atom"})
             )
             if conflict and cls == "object" and ocls == "object":
-                # objects are distinguishable iff their prop sets are disjoint
-                conflict = bool(props & other_props) or not props or not other_props
+                # objects are distinguishable iff their prop sets are
+                # disjoint — or either declares an @if/@then
+                # discriminator (index.js:1919-1987 accepts
+                # discriminated overlap)
+                conflict = (
+                    not (has_ifthen or other_ifthen)
+                    and (bool(props & other_props) or not props or not other_props)
+                )
             if conflict:
                 raise SpecError(
                     f"union members are ambiguous: {cls}@depth{depth} conflicts with {ocls}"
                 )
-        seen[(depth, cls)] = props
+        seen.append((depth, cls, props, has_ifthen))
 
 
 def check_object(o: ObjectT, resolve, typepath: str = "") -> None:

@@ -231,3 +231,12 @@ def test_extends_concatenates_propsets():
     })
     assert spec.check()
     assert spec.root.one == (("a", "b"), ("c", "d"))
+
+
+def test_if_then_discriminated_union_accepted():
+    # overlapping object members are OK when @if/@then discriminates
+    # (reference accepts discriminated overlap, index.js:1919-1987)
+    ok = CheckSpec({"@root": "#T",
+                    "T": {"x": [[{"a": "int", "@if": "a", "@then": {"a": "int"}},
+                                  {"a": "string", "b?": "int"}]]}})
+    assert ok.check()

@@ -54,3 +54,34 @@ def test_streaming_projection_is_incremental(spark, seq_dir):
     q.awaitTermination(120)
     rows = spark.sql("select * from viol_mem").collect()
     assert {r.check_id for r in rows} >= {"n_tok_consistency", "tokens_not_null"}
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked event-time windows; batch run is the parity oracle."""
+    from sjot_spark.streaming.windows import windowed_counts
+
+    ev_dir = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.parquet(ev_dir)
+    schema = spark.read.parquet(ev_dir).schema
+    sdf = spark.readStream.schema(schema).parquet(ev_dir)
+    wdf = windowed_counts(sdf, "ts", "event_type",
+                          window="1 hour", watermark="30 minutes")
+    q = (wdf.writeStream.format("memory").queryName("winmem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("select * from winmem").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n
+        for r in windowed_counts(
+            spark.read.parquet(ev_dir), "ts", "event_type",
+            window="1 hour").collect()
+    }
+    # append mode only emits windows closed by the watermark; all
+    # emitted windows must agree exactly with the batch computation
+    assert got
+    for k, n in got.items():
+        assert batch[k] == n
