@@ -630,3 +630,29 @@ FROM documents GROUP BY 1, 2
 
 QUERIES["length_histogram"] = q_length_histogram
 ORACLES["length_histogram"] = ORACLE_LENGTH_HISTOGRAM
+
+
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured column handling: extract a typed value from the
+    JSON props column and aggregate (JVM get_json_object — no UDF)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_json_props"] = q_events_json_props
+ORACLES["events_json_props"] = ORACLE_EVENTS_JSON

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions — locks in the scale properties the
+engine is designed around (SURVEY.md §4). If a refactor introduces a
+shuffle into the row-check pass or turns the dim join into a
+sort-merge join, these fail."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sjot_spark.engine import ValidationEngine
+from sjot_spark.fixtures import (
+    SEQUENCE_SPEC, make_allowed_sources, make_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    df = make_sequences(spark, 200, violations=True)
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    res = eng.run(df, dims={"allowed_sources": make_allowed_sources(spark)},
+                  persist_violations=False)
+    comp = eng.compile(df)
+    flags_plan = res.flags._jdf.queryExecution().executedPlan().toString()
+    row_viol = eng._row_violations(df, comp, "doc_id", F.col("source"))
+    rv_plan = row_viol._jdf.queryExecution().executedPlan().toString()
+    ref_plan = eng._ref_violations(
+        df, make_allowed_sources(spark), eng.spec.table.refs[0],
+        "doc_id", F.col("source"),
+    )._jdf.queryExecution().executedPlan().toString()
+    uniq_plan = eng._unique_violations(
+        df, F.col("source"))._jdf.queryExecution().executedPlan().toString()
+    return {"flags": flags_plan, "row_viol": rv_plan,
+            "ref": ref_plan, "uniq": uniq_plan}
+
+
+def test_row_checks_are_shuffle_free(plans):
+    # the validation scan must be a pure projection pipeline
+    assert "Exchange" not in plans["flags"]
+    assert "Exchange" not in plans["row_viol"]
+
+
+def test_element_range_uses_minmax_fast_path(plans):
+    # the token element-range check must compile to array_min/array_max
+    # bounds (codegen-friendly specialized ops), not a per-element
+    # forall lambda (higher-order functions force interpreted eval)
+    assert "array_min" in plans["flags"] and "array_max" in plans["flags"]
+    assert "forall" not in plans["flags"]
+
+
+def test_ref_integrity_is_broadcast_anti_join(plans):
+    assert "BroadcastHashJoin" in plans["ref"]
+    assert "LeftAnti" in plans["ref"]
+    assert "SortMergeJoin" not in plans["ref"]
+    # the fact (streamed) side must not be exchanged: any hash
+    # exchange may only appear inside the broadcast (build) subtree,
+    # which is printed after the BroadcastExchange line
+    lines = plans["ref"].splitlines()
+    bcast_at = next(i for i, l in enumerate(lines) if "BroadcastExchange" in l)
+    fact_exchanges = [
+        l for l in lines[:bcast_at] if "Exchange" in l and "Broadcast" not in l
+    ]
+    assert not fact_exchanges, fact_exchanges
+
+
+def test_uniqueness_has_partial_aggregation(plans):
+    # map-side combine before the shuffle (partial_count), then one
+    # hash exchange on the key
+    assert "partial_count" in plans["uniq"] or "partial" in plans["uniq"]
+    assert plans["uniq"].count("Exchange hashpartitioning") <= 2
+
+
+def test_filters_and_projection_reach_the_scan(spark, tmp_path):
+    """Predicate pushdown + column pruning must reach the parquet scan
+    (PushedFilters / ReadSchema) — free from Catalyst because every
+    query is declarative."""
+    from sjot_spark.queries import q_tpch_q6
+
+    plan = q_tpch_q6(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual" in plan
+    # projection pruned: the scan must not read all 11 lineitem columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in scan"
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(read_cols) <= {"l_shipdate", "l_discount", "l_quantity",
+                              "l_extendedprice"}, read_cols
