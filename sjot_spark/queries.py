@@ -564,16 +564,21 @@ def q_length_quantiles(spark, sf_dir):
     of the percentile_approx sketch used at scale — see
     ValidationEngine docs / SURVEY §2.7)."""
     docs = load(spark, sf_dir, "documents")
+    # dyadic percentiles only (0.25/0.5/0.75): the interpolation
+    # weights are exact in binary floating point, so Spark and DuckDB
+    # produce bit-identical doubles regardless of evaluation order
     return docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
         F.expr("percentile(n_chars, 0.5)").alias("p50"),
-        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
 
 ORACLE_LENGTH_QUANTILES = """
-SELECT source, quantile_cont(n_chars, 0.5) AS p50,
-       quantile_cont(n_chars, 0.95) AS p95,
+SELECT source, quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source
 """
