@@ -117,6 +117,8 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
             raise SpecError(f"range type on non-numeric column type {dt}")
         return range_pred(t.spec, c, isinstance(dt, _FLOATY))
     if isinstance(t, SizedInt):
+        if not isinstance(dt, _NUMERIC):
+            raise SpecError(f"{t.name} type on non-numeric column type {dt}")
         p = (c >= F.lit(t.lo)) & (c <= F.lit(t.hi))
         if isinstance(dt, _FLOATY):
             p = p & (c == F.floor(c))
@@ -128,6 +130,8 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
             raise SpecError(f"regex type on non-string column type {dt}")
         return c.rlike(t.anchored)
     if isinstance(t, CharLen):
+        if not isinstance(dt, T.StringType):
+            raise SpecError(f"char type on non-string column type {dt}")
         return bounds_pred(t.bounds, F.length(c))
     if isinstance(t, Primitive):
         n = t.name
@@ -136,13 +140,23 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
                 raise SpecError(f"{n} type on non-string column type {dt}")
             return c.rlike(FORMAT_REGEX[n])
         if n == "char":
+            if not isinstance(dt, T.StringType):
+                raise SpecError(f"char type on non-string column type {dt}")
             return F.length(c) == 1
         if n in ("true", "false"):
+            if not isinstance(dt, T.BooleanType):
+                raise SpecError(f"{n} type on non-boolean column type {dt}")
             return c == F.lit(n == "true")
         if n == "integer":
+            if not isinstance(dt, _NUMERIC):
+                raise SpecError(f"integer type on non-numeric column type {dt}")
             return c == F.floor(c) if isinstance(dt, _FLOATY) else None
+        if n == "null":
+            # inside unions / struct fields: the value itself must be
+            # null (top-level presence handling lives in _compile_column)
+            return c.isNull()
         if n in ("any", "atom", "object", "array", "string", "boolean",
-                 "number", "float", "double", "null"):
+                 "number", "float", "double"):
             # conformance is the column's Spark type; checked statically
             _static_conform(n, dt)
             return None
@@ -174,11 +188,18 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
             preds.append(F.size(F.array_distinct(c)) == F.size(c))
         if scalar_pred(t.item, F.lit(0), dt.elementType, resolve) is not None \
                 or isinstance(t.item, (ArrayOf, Tuple, ObjectT)):
-            def ep(x: Column) -> Column:
-                p = scalar_pred(t.item, x, dt.elementType, resolve)
-                base = x.isNotNull()
-                return base if p is None else base & F.coalesce(p, F.lit(False))
-            preds.append(F.forall(c, ep))
+            item_node = t.item
+            while isinstance(item_node, Ref):
+                item_node = resolve(item_node.name)
+            fast = _interval_elem_pred(item_node, c, dt.elementType)
+            if fast is not None:
+                preds.append(fast)
+            else:
+                def ep(x: Column) -> Column:
+                    p = scalar_pred(t.item, x, dt.elementType, resolve)
+                    base = x.isNotNull()
+                    return base if p is None else base & F.coalesce(p, F.lit(False))
+                preds.append(F.forall(c, ep))
         return reduce(and_, preds) if preds else None
     if isinstance(t, Tuple):
         if not isinstance(dt, T.ArrayType):
@@ -204,8 +225,15 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
                         continue
                     raise SpecError(f"required struct field {p.name} missing")
                 names = [p.name]
+            node = p.type
+            while isinstance(node, Ref):
+                node = resolve(node.name)
             for nm in names:
                 fc = c.getField(nm)
+                if isinstance(node, Primitive) and node.name == "null":
+                    # null-typed field: the value must be null, full stop
+                    preds.append(fc.isNull())
+                    continue
                 fp = scalar_pred(p.type, fc, fields[nm].dataType, resolve)
                 base = fc.isNotNull() if not p.optional else F.lit(True)
                 if fp is not None:
@@ -341,8 +369,11 @@ def compile_spec(spec: CheckSpec, schema: T.StructType) -> CompiledSpec:
                                 spec.resolve, f"/@root/{tname}/{col_name}")
             )
 
-    # C1-C4 presence combinators over column nullness
-    present = lambda n: F.col(n).isNotNull()  # noqa: E731
+    # C1-C4 presence combinators over column nullness; an optional
+    # column absent from the table is simply never present
+    present = lambda n: (  # noqa: E731
+        F.col(n).isNotNull() if n in fields else F.lit(False)
+    )
     for s in root.one:
         cnt = reduce(
             lambda a, b: a + b, (present(n).cast("int") for n in s)
@@ -402,10 +433,18 @@ def _compile_column(
     while isinstance(t, Ref):
         t = resolve(t.name)
 
+    # a union with an explicit "null" member admits null values, so
+    # the presence check is waived (the union pred handles it)
+    union_admits_null = isinstance(t, UnionT) and any(
+        isinstance(_m := (resolve(m.name) if isinstance(m, Ref) else m),
+                   Primitive) and _m.name == "null"
+        for m in t.members
+    )
+
     # presence (P1/P10): required column must be non-null; regex-named
     # props are implicitly optional (they validate observed columns,
     # index.js:388-405)
-    if not prop.optional and not prop.is_regex \
+    if not prop.optional and not prop.is_regex and not union_admits_null \
             and not (isinstance(t, Primitive) and t.name == "null"):
         out.append(RowCheck(
             f"{name}_not_null", c.isNotNull(),

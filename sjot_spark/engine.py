@@ -267,7 +267,11 @@ class ValidationEngine:
         if not part:
             raise SpecError("run_with_overrides needs @table.partition_by")
         listed = list(overrides)
-        base_res = self.run(df.where(~F.col(part).isin(listed)), dims=dims)
+        # NULL partition values fall to the base spec (a bare ~isin
+        # would drop them: NULL NOT IN (...) is SQL NULL)
+        base_res = self.run(
+            df.where(F.coalesce(~F.col(part).isin(listed), F.lit(True))),
+            dims=dims)
         results = [base_res]
         for value, spec in overrides.items():
             eng = ValidationEngine(spec)

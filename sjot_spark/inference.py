@@ -41,10 +41,20 @@ _INT_BOUNDS = [
 
 
 def _fmt_num(v) -> str:
+    """Plain-decimal literal (the SJOT range grammar has no scientific
+    notation, so repr()-style '1e+16' / '1e-05' would be rejected)."""
     f = float(v)
-    if math.isclose(f, int(f)) and abs(f) < 1e15:
+    if f == int(f):
         return str(int(f))
-    return repr(f)
+    s = f"{f:.17f}".rstrip("0")
+    return s + "0" if s.endswith(".") else s
+
+
+def _fmt_float(v) -> str:
+    """Like _fmt_num but guaranteed to carry a '.' so the range stays
+    float-admitting."""
+    s = _fmt_num(v)
+    return s if "." in s else s + ".0"
 
 
 def infer_spec(
@@ -98,14 +108,14 @@ def infer_spec(
         optional = (prof[f"{name}__nulls"] or 0) > 0
         if kind == "num":
             lo, hi = prof[f"{name}__min"], prof[f"{name}__max"]
-            if lo is None:
-                t = "number"
+            if lo is None or not (math.isfinite(float(lo)) and math.isfinite(float(hi))):
+                t = "number"  # empty sample or inf/nan: no range evidence
             else:
                 if slack:
                     span = (hi - lo) * slack
                     lo, hi = lo - span, hi + span
                 if isinstance(dt, (T.FloatType, T.DoubleType)):
-                    t = f"{float(lo)!r}..{float(hi)!r}"
+                    t = f"{_fmt_float(lo)}..{_fmt_float(hi)}"
                 else:
                     t = f"{_fmt_num(lo)}..{_fmt_num(hi)}"
         elif kind == "str":

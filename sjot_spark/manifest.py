@@ -41,8 +41,17 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
-def _safe_name(value: str) -> str:
-    return "".join(ch if ch.isalnum() or ch in "-_." else "_" for ch in value)
+_NULL_PART = "_null_"
+
+
+def _safe_name(value) -> str:
+    """Filesystem-safe manifest name for any partition value type
+    (string/int/date/None)."""
+    if value is None:
+        return _NULL_PART
+    return "".join(
+        ch if ch.isalnum() or ch in "-_." else "_" for ch in str(value)
+    ) or _NULL_PART
 
 
 def _write_manifest(out_dir: str, name: str, entry: dict) -> None:
@@ -96,10 +105,14 @@ def run_checkpointed(
     dims = dims or {}
 
     done = read_manifest(out_dir)
-    parts = sorted(
-        r[0] for r in df.select(part).distinct().collect() if r[0] is not None
+    # NULL partition values get their own slice (sorted first) so no
+    # row escapes row-level validation
+    values = [r[0] for r in df.select(part).distinct().collect()]
+    parts = ([None] if any(v is None for v in values) else []) + sorted(
+        v for v in values if v is not None
     )
-    todo = [p for p in parts if p not in done]
+    key_of = lambda p: _NULL_PART if p is None else p  # noqa: E731
+    todo = [p for p in parts if key_of(p) not in done]
     if max_partitions is not None:
         todo = todo[:max_partitions]
 
@@ -113,7 +126,9 @@ def run_checkpointed(
 
     for p in todo:
         t0 = time.time()
-        part_df = df.where(F.col(part) == p)
+        part_df = df.where(
+            F.col(part).isNull() if p is None else F.col(part) == p
+        )
         res = local_engine.run(part_df, dims=dims)
         vdir = os.path.join(out_dir, "violations", f"{part}={_safe_name(p)}")
         res.violations.write.mode("overwrite").parquet(vdir)
@@ -122,7 +137,7 @@ def run_checkpointed(
         n_viol = sum(r["n_violations"] for r in verd)
         n_bad = sum(r["n_bad_rows"] for r in verd)
         _write_manifest(out_dir, _safe_name(p), {
-            "partition": p,
+            "partition": key_of(p),
             "n_rows": n_rows,
             "n_violations": n_viol,
             "n_bad_rows": n_bad,
@@ -132,10 +147,10 @@ def run_checkpointed(
             "engine_version": sjot_spark.__version__,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         })
-        done[p] = read_manifest(out_dir)[p]
+        done[key_of(p)] = read_manifest(out_dir)[key_of(p)]
 
     # global phase: cross-partition checks, once everything local is in
-    all_local_done = all(p in done for p in parts)
+    all_local_done = all(key_of(p) in done for p in parts)
     if all_local_done and GLOBAL_PART not in done and (
         spec.table.unique or spec.table.drift
     ):

@@ -661,3 +661,53 @@ FROM events GROUP BY event_type
 
 QUERIES["events_json_props"] = q_events_json_props
 ORACLES["events_json_props"] = ORACLE_EVENTS_JSON
+
+
+def q_fingerprint_overlap(spark, sf_dir):
+    """Winnowed rolling-hash fingerprint overlap pairs (rows-only: the
+    MOSS pipeline is not reasonably one-statement SQL)."""
+    from sjot_spark.datapipe.fingerprint import fingerprint_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return fingerprint_overlap_pairs(docs, "doc_id", "text",
+                                     k=5, w=8, min_shared=2)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF (KMeans-cell) approximate nearest neighbor (rows-only;
+    verified against brute force in tests)."""
+    from sjot_spark.datapipe.ivf import ann_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_ivf(emb, "vec_id", "embedding", [0, 1, 2], k=5,
+                   nlist=8, nprobe=3)
+
+
+def q_part_supplier_distinct(spark, sf_dir):
+    """Distinct aggregation over a join (TPC-H q16 flavor): distinct
+    suppliers per part brand."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_PART_SUPPLIER_DISTINCT = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+QUERIES.update({
+    "fingerprint_overlap": q_fingerprint_overlap,
+    "ann_ivf": q_ann_ivf,
+    "part_supplier_distinct": q_part_supplier_distinct,
+})
+ORACLES["part_supplier_distinct"] = ORACLE_PART_SUPPLIER_DISTINCT

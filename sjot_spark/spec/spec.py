@@ -144,7 +144,12 @@ class CheckSpec:
                 if name not in self.named:
                     raise SpecError(f"@root {root}: no such type")
                 return name
-            # inline root type
+            # inline root type (flatten @extends against named types too)
+            if isinstance(root, dict) and "@extends" in root:
+                named_raw = {
+                    k: v for k, v in doc.items() if not k.startswith("@")
+                }
+                root = _flatten_extends("@root", root, named_raw)
             self.named["@root"] = parse_type(root, "/@root")
             return "@root"
         if len(self.named) == 1:

@@ -158,3 +158,67 @@ def test_real_decode_is_gated(spark):
         pytest.skip("PIL installed; stub gate not applicable")
     with pytest.raises(NotImplementedError, match="requires PIL"):
         multimodal.decode_image(b"xx")
+
+
+def test_winnowed_fingerprints(spark, docs):
+    from sjot_spark.datapipe import fingerprint as fpm
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in fpm.fingerprint_overlap_pairs(
+            docs, "doc_id", "text", k=3, w=2, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs        # identical docs share everything
+    assert (1, 3) in pairs        # one-word edit still overlaps
+    assert all({a, b} != {1, 4} for a, b in pairs)
+    # winnowing guarantee: shared fps of (1,2) >= shared of (1,3)
+    assert pairs[(1, 2)] >= pairs[(1, 3)]
+    # determinism
+    again = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in fpm.fingerprint_overlap_pairs(
+            docs, "doc_id", "text", k=3, w=2, min_shared=1).collect()
+    }
+    assert pairs == again
+
+
+def test_short_docs_fingerprint_gracefully(spark):
+    from sjot_spark.datapipe import fingerprint as fpm
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e f g h")],
+        "doc_id int, text string")
+    rows = df.select(
+        "doc_id", fpm.fingerprints(F.col("text"), k=3, w=2).alias("fp")
+    ).collect()
+    by = {r.doc_id: r.fp for r in rows}
+    assert by[1] == [] and by[2] == []   # shorter than k
+    assert len(by[3]) >= 1
+
+
+def test_ann_ivf_recovers_bruteforce_top1(spark):
+    import numpy as np
+
+    from sjot_spark.datapipe import similarity
+    from sjot_spark.datapipe.ivf import ann_ivf
+
+    rng = np.random.RandomState(11)
+    bases = [rng.rand(8) * s for s in (1, -1, 2)]
+    rows = [
+        (i, [float(x) for x in (bases[i % 3] + rng.rand(8) * 0.05)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.knn_bruteforce(
+            df, "vec_id", "embedding", [0, 1], k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf(df, "vec_id", "embedding", [0, 1], k=3,
+                         nlist=6, nprobe=3).collect()
+    }
+    assert approx[(0, 1)] == exact[(0, 1)]
+    assert approx[(1, 1)] == exact[(1, 1)]
