@@ -222,3 +222,21 @@ def test_ann_ivf_recovers_bruteforce_top1(spark):
     }
     assert approx[(0, 1)] == exact[(0, 1)]
     assert approx[(1, 1)] == exact[(1, 1)]
+
+
+def test_fingerprint_window_and_array_formulations_agree(spark, docs):
+    from sjot_spark.datapipe import fingerprint as fpm
+
+    arr = {
+        (r.doc_id, fp)
+        for r in docs.select(
+            "doc_id", fpm.fingerprints(F.col("text"), k=3, w=2).alias("fps")
+        ).collect()
+        for fp in r.fps
+    }
+    win = {
+        (r.doc, r.fp)
+        for r in fpm.fingerprints_exploded(docs, "doc_id", "text",
+                                           k=3, w=2).collect()
+    }
+    assert arr == win
