@@ -330,15 +330,48 @@ class ValidationEngine:
         return row.asDict()
 
     def repair(self, df: DataFrame) -> DataFrame:
-        """Opt-in analog of SJOT's default insertion (index.js:424-442,
-        1194-1244): fill null OPTIONAL columns with their declared
-        defaults. Never applied on the validation path — the main pass
-        must leave data byte-identical."""
+        """Opt-in analog of SJOT's default insertion: fill null
+        OPTIONAL columns with their declared defaults (index.js:424-442)
+        and replace null ARRAY ELEMENTS with the element type's zero
+        value (index.js:182-190, sjot_default 1194-1244). Never applied
+        on the validation path — the main pass must leave data
+        byte-identical."""
+        from sjot_spark.spec.typestr import (
+            ArrayOf, Primitive, Range, Ref, SizedInt,
+        )
+
         root = self.spec.root
         out = df
+        cols = set(df.columns)
         for p in getattr(root, "props", ()):  # ObjectT only
-            if p.has_default and p.name in df.columns:
+            if p.name not in cols:
+                continue
+            if p.has_default:
                 out = out.withColumn(
                     p.name, F.coalesce(F.col(p.name), F.lit(p.default))
+                )
+            t = p.type
+            while isinstance(t, Ref):
+                t = self.spec.resolve(t.name)
+            if isinstance(t, ArrayOf):
+                item = t.item
+                if isinstance(item, (SizedInt, Range)):
+                    dflt: object = 0
+                elif isinstance(item, Primitive) and item.name in (
+                        "string", "char"):
+                    dflt = ""
+                elif isinstance(item, Primitive) and item.name == "boolean":
+                    dflt = False
+                else:
+                    continue
+                out = out.withColumn(
+                    p.name,
+                    F.when(
+                        F.col(p.name).isNotNull(),
+                        F.transform(
+                            F.col(p.name),
+                            lambda x: F.coalesce(x, F.lit(dflt)),
+                        ),
+                    ),
                 )
         return out

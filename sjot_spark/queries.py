@@ -711,3 +711,36 @@ QUERIES.update({
     "part_supplier_distinct": q_part_supplier_distinct,
 })
 ORACLES["part_supplier_distinct"] = ORACLE_PART_SUPPLIER_DISTINCT
+
+
+def q_column_stats(spark, sf_dir):
+    """north_rule 'column stats': exact one-pass per-column profile of
+    the documents table (the oracle twin of the HLL-based
+    plan.stats_profile.column_stats used at scale)."""
+    from sjot_spark.plan.stats_profile import exact_column_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_column_stats(docs, ["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+
+
+ORACLE_COLUMN_STATS = """
+SELECT '_table' AS column, 'n_rows' AS stat, COUNT(*)::BIGINT AS value FROM documents
+UNION ALL SELECT 'doc_id','n_nulls', SUM((doc_id IS NULL)::INT)::BIGINT FROM documents
+UNION ALL SELECT 'doc_id','n_distinct', COUNT(DISTINCT doc_id)::BIGINT FROM documents
+UNION ALL SELECT 'doc_id','min', MIN(doc_id)::BIGINT FROM documents
+UNION ALL SELECT 'doc_id','max', MAX(doc_id)::BIGINT FROM documents
+UNION ALL SELECT 'text','n_nulls', SUM((text IS NULL)::INT)::BIGINT FROM documents
+UNION ALL SELECT 'text','n_distinct', COUNT(DISTINCT text)::BIGINT FROM documents
+UNION ALL SELECT 'lang','n_nulls', SUM((lang IS NULL)::INT)::BIGINT FROM documents
+UNION ALL SELECT 'lang','n_distinct', COUNT(DISTINCT lang)::BIGINT FROM documents
+UNION ALL SELECT 'source','n_nulls', SUM((source IS NULL)::INT)::BIGINT FROM documents
+UNION ALL SELECT 'source','n_distinct', COUNT(DISTINCT source)::BIGINT FROM documents
+UNION ALL SELECT 'n_chars','n_nulls', SUM((n_chars IS NULL)::INT)::BIGINT FROM documents
+UNION ALL SELECT 'n_chars','n_distinct', COUNT(DISTINCT n_chars)::BIGINT FROM documents
+UNION ALL SELECT 'n_chars','min', MIN(n_chars)::BIGINT FROM documents
+UNION ALL SELECT 'n_chars','max', MAX(n_chars)::BIGINT FROM documents
+"""
+
+QUERIES["column_stats"] = q_column_stats
+ORACLES["column_stats"] = ORACLE_COLUMN_STATS

@@ -107,3 +107,18 @@ def test_tokenid_drift_rejected(spark, engine):
     clean = make_sequences(spark, 2000, seed=888, violations=False)
     ids2 = [r for r in engine.drift(clean, base) if r["check_id"] == "id_hist"]
     assert ids2 and all(r["verdict"] == "pass" for r in ids2)
+
+
+def test_column_stats_profile(spark):
+    from sjot_spark.fixtures import make_sequences
+    from sjot_spark.plan.stats_profile import column_stats
+
+    df = make_sequences(spark, 500, violations=False)
+    prof = {(r.column, r.stat): r.value for r in column_stats(df).collect()}
+    assert prof[("_table", "n_rows")] == 500.0
+    assert prof[("doc_id", "n_nulls")] == 0.0
+    # HLL estimate within 10% of exact
+    assert abs(prof[("doc_id", "approx_distinct")] - 500) <= 50
+    assert prof[("n_tok", "min")] >= 1.0
+    assert prof[("tokens", "max_size")] <= 8192.0
+    assert prof[("source", "max_len")] >= 3.0

@@ -154,3 +154,19 @@ def test_per_partition_spec_overrides(spark):
     verd = {r.partition: r.verdict for r in res.verdicts.collect()}
     assert verd["code"] == "fail"
     assert verd.get("web") == "pass"
+
+
+def test_repair_fills_null_array_elements(spark):
+    # SJOT replaces null array elements with the element default
+    # (index.js:182-190); our repair() does it opt-in, off the
+    # validation path
+    eng = ValidationEngine({
+        "@root": "#T",
+        "T": {"k": "string", "a?": "0..9[]"},
+        "@table": {"key": "k"},
+    })
+    df = spark.createDataFrame(
+        [("x", [1, None, 3]), ("y", None)], "k string, a array<int>")
+    fixed = {r.k: r.a for r in eng.repair(df).collect()}
+    assert fixed["x"] == [1, 0, 3]
+    assert fixed["y"] is None  # optional column stays absent
