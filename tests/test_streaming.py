@@ -85,3 +85,32 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got
     for k, n in got.items():
         assert batch[k] == n
+
+
+def test_stateful_cross_batch_duplicate_detection(spark, tmp_path):
+    """applyInPandasWithState: a doc_id seen in batch 1 reappearing in
+    batch 2 must be flagged — state survives across micro-batches."""
+    from sjot_spark.streaming.stateful import duplicate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: a,b,c (plus an in-batch dup of a) — batch 2: c,d,a
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",)], "doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("c",), ("d",), ("a",)], "doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("doc_id string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    dups = duplicate_stream(sdf, "doc_id", n_buckets=4)
+    q = (dups.writeStream.format("memory").queryName("dupmem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.key, r.n_prior) for r in spark.sql("select * from dupmem").collect()}
+    # in-batch dup of a (prior=1), cross-batch: c (prior=1), a (prior=2)
+    assert got == {("a", 1), ("c", 1), ("a", 2)}
