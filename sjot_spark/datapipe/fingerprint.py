@@ -93,10 +93,13 @@ def fingerprints_exploded(
     wo = Window.partitionBy("doc").orderBy("pos")
     gram = None
     for j in range(k):
-        term = F.lead("th", j).over(wo) * pow(_B, k - 1 - j, _P)
-        gram = term if gram is None else gram + term
+        # pmod per term: th < 2^31 and weight < P, so each product is
+        # < 2^61, but an unreduced sum would overflow int64 at k >= 11
+        term = F.pmod(F.lead("th", j).over(wo) * pow(_B, k - 1 - j, _P),
+                      F.lit(_P))
+        gram = term if gram is None else F.pmod(gram + term, F.lit(_P))
     grams = toks.select(
-        "doc", "pos", F.pmod(gram, F.lit(_P)).alias("gh")
+        "doc", "pos", gram.alias("gh")
     ).where(F.col("gh").isNotNull())  # last k-1 positions have no gram
     wmin = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
     n_grams = Window.partitionBy("doc")
@@ -119,8 +122,13 @@ def fingerprint_overlap_pairs(
 ) -> DataFrame:
     """Candidate overlap pairs: documents sharing >= min_shared
     winnowed fingerprints. Join happens on the winnowed (sparse,
-    ~2/(w+1) density) set, not the raw token stream."""
-    fp = fingerprints_exploded(df, id_col, text_col, k, w)
+    ~2/(w+1) density) set, not the raw token stream. The fingerprint
+    relation is persisted so the posexplode+window pipeline runs once,
+    not once per side of the self-join."""
+    from pyspark import StorageLevel
+
+    fp = fingerprints_exploded(df, id_col, text_col, k, w) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     return (
         fp.alias("a").join(fp.alias("b"), "fp")
         .where(F.col("a.doc") < F.col("b.doc"))

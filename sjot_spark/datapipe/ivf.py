@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sjot_spark.datapipe.similarity import cosine
+from sjot_spark.datapipe.similarity import cosine, norm, topk_by_sim
 
 
 def build_ivf(
@@ -26,11 +26,24 @@ def build_ivf(
 ):
     """Returns (assigned_df with `cell`, centroids: list[(cell, vec)])."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    ml = df.select(
-        F.col(id_col).alias("_id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    # KMeans assigns by EUCLIDEAN distance while queries probe by
+    # COSINE: normalize to unit length so the two metrics agree
+    # (on the unit sphere, euclidean^2 = 2 - 2*cosine); the norm is
+    # materialized as a column first so it isn't recomputed per element
+    ml = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .select(
+            "_id",
+            array_to_vector(
+                F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+            ).alias("features"),
+        )
     )
     model = KMeans(k=nlist, seed=seed, maxIter=20).fit(ml)
     assigned = (
@@ -51,7 +64,12 @@ def ann_ivf(
     nlist: int = 16, nprobe: int = 4, seed: int = 42,
 ) -> DataFrame:
     """Exact top-k cosine within the nprobe closest cells per query."""
+    from pyspark import StorageLevel
+
     assigned, centroids = build_ivf(df, id_col, vec_col, nlist, seed)
+    # both the query branch and the candidate scan descend from
+    # `assigned` — persist so the KMeans transform + join runs once
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     spark = df.sparkSession
     cent = spark.createDataFrame(
         [(c, v) for c, v in centroids], "cell int, cvec array<double>"
@@ -74,10 +92,4 @@ def ann_ivf(
         "query_id", F.col(id_col).alias("neighbor_id"),
         cosine(F.col("qvec"), F.col(vec_col)).cast("double").alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank",
-                F.round("cos_sim", 6).alias("cos_sim_r"))
-    )
+    return topk_by_sim(sims, k)

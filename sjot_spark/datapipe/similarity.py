@@ -34,24 +34,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def knn_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str,
-    query_ids: list[int], k: int = 5,
-) -> DataFrame:
-    """Exact top-k cosine neighbors for each query id. The query set
-    is tiny -> broadcast; rank ties broken by neighbor id (fully
-    deterministic output)."""
+def topk_by_sim(sims: DataFrame, k: int) -> DataFrame:
+    """Shared top-k epilogue over (query_id, neighbor_id, cos_sim):
+    rank per query (ties broken by neighbor id — deterministic), keep
+    k, round the reported similarity."""
     from pyspark.sql.window import Window
 
-    q = df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    pairs = df.alias("c").join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    sims = pairs.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("qvec"), F.col(vec_col)).cast("double").alias("cos_sim"),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -61,6 +49,24 @@ def knn_bruteforce(
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos_sim", 6).alias("cos_sim_r"))
     )
+
+
+def knn_bruteforce(
+    df: DataFrame, id_col: str, vec_col: str,
+    query_ids: list[int], k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id. The query set
+    is tiny -> broadcast."""
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = df.alias("c").join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sims = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col(vec_col)).cast("double").alias("cos_sim"),
+    )
+    return topk_by_sim(sims, k)
 
 
 def _hyperplane(plane: int, dim: int) -> float:
@@ -101,8 +107,6 @@ def ann_lsh(
     (signature comparison is against the broadcast query set — the
     corpus is scanned once, never self-joined), then exact cosine +
     rank on the candidate set."""
-    from pyspark.sql.window import Window
-
     signed = df.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
         sign_lsh_signature(F.col(vec_col), dim, n_planes).alias("csig"),
@@ -120,13 +124,7 @@ def ann_lsh(
         "query_id", F.col("cid").alias("neighbor_id"),
         cosine(F.col("qvec"), F.col("cvec")).cast("double").alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank",
-                F.round("cos_sim", 6).alias("cos_sim_r"))
-    )
+    return topk_by_sim(sims, k)
 
 
 def cosine_dup_candidates(

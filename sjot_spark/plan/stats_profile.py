@@ -27,7 +27,7 @@ _NUM = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Long-form per-column statistics: (column, stat, value:double).
     One aggregation job regardless of column count."""
-    cols = columns or df.columns
+    cols = df.columns if columns is None else columns
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__rows")]
     emit: list[tuple[str, str, str]] = []  # (column, stat, agg alias)
@@ -68,7 +68,7 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 def exact_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Exact-distinct variant (count(distinct) instead of HLL) — the
     oracle-checkable twin; use `column_stats` at scale."""
-    cols = columns or df.columns
+    cols = df.columns if columns is None else columns
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__rows")]
     emit = []

@@ -57,7 +57,9 @@ def duplicate_stream(
         state.update(([f"{k}\x00{c}" for k, c in seen.items()],))
         yield pd.DataFrame({"key": dup_keys, "n_prior": dup_prior})
 
-    bucketed = sdf.select(
+    # null keys are not comparable identities (pandas astype(str) would
+    # fold them into the literal 'None'); presence checks own nulls
+    bucketed = sdf.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias(key_col),
         F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
     )
