@@ -1,0 +1,42 @@
+"""Deterministic tokenization: text -> (tokens:array<int>, n_tok) in
+the engine's input_hint shape.
+
+The "tokenizer" is whitespace split + md5-derived vocab-id hashing —
+a stand-in with the exact plumbing of a real BPE step (the swap point
+is one Column expression / pandas-UDF kernel). Being md5-based, the
+token ids are engine-independent, so the pipeline is DuckDB-oracle
+checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VOCAB = 50257
+
+
+def token_ids(text: Column, vocab: int = VOCAB) -> Column:
+    """array<int> of hashed token ids; empty/blank text -> []."""
+    toks = F.split(F.trim(text), r"\s+")
+    ids = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(vocab),
+        ).cast("int"),
+    )
+    return F.when(F.length(F.trim(text)) == 0,
+                  F.array().cast("array<int>")).otherwise(ids)
+
+
+def tokenize_documents(df: DataFrame, vocab: int = VOCAB) -> DataFrame:
+    """documents -> input_hint-shaped sequences table
+    (doc_id, tokens, n_tok, source)."""
+    ids = token_ids(F.col("text"), vocab)
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        ids.alias("tokens"),
+        F.size(ids).cast("int").alias("n_tok"),
+        F.col("source"),
+    )

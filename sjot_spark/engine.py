@@ -298,6 +298,20 @@ class ValidationEngine:
             c.name: _drift.build_histogram(df, c) for c in self.spec.table.drift
         }
 
+    def save_profile(
+        self, baselines: dict[str, DataFrame], path: str
+    ) -> None:
+        """Persist a drift baseline profile (one parquet per clause)."""
+        for name, hist in baselines.items():
+            hist.write.mode("overwrite").parquet(f"{path}/{name}")
+
+    def load_profile(self, spark, path: str) -> dict[str, DataFrame]:
+        """Load a persisted drift baseline profile."""
+        return {
+            c.name: spark.read.parquet(f"{path}/{c.name}")
+            for c in self.spec.table.drift
+        }
+
     def drift(
         self, df: DataFrame, baselines: dict[str, DataFrame]
     ) -> list[dict]:

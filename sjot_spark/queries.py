@@ -744,3 +744,35 @@ UNION ALL SELECT 'n_chars','max', MAX(n_chars)::BIGINT FROM documents
 
 QUERIES["column_stats"] = q_column_stats
 ORACLES["column_stats"] = ORACLE_COLUMN_STATS
+
+
+def q_tokenize_stats(spark, sf_dir):
+    """Deterministic tokenization (text -> hashed token-id arrays in
+    the input_hint shape), verified via per-source aggregates of the
+    produced ids — the md5-derived vocab hash is engine-independent,
+    so the whole tokenize step is oracle-checked."""
+    from sjot_spark.datapipe.tokenize import tokenize_documents
+
+    seq = tokenize_documents(load(spark, sf_dir, "documents"))
+    return seq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.sum(F.aggregate("tokens", F.lit(0).cast("long"),
+                          lambda a, t: a + t)).alias("sum_ids"),
+    )
+
+
+ORACLE_TOKENIZE = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+            x -> (('0x' || substr(md5(x),1,15))::BIGINT % 50257)::INT) AS ids
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(ids))::BIGINT AS sum_tok,
+       SUM(list_aggregate(ids, 'sum'))::BIGINT AS sum_ids
+FROM tok GROUP BY source
+"""
+
+QUERIES["tokenize_stats"] = q_tokenize_stats
+ORACLES["tokenize_stats"] = ORACLE_TOKENIZE

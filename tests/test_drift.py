@@ -122,3 +122,15 @@ def test_column_stats_profile(spark):
     assert prof[("n_tok", "min")] >= 1.0
     assert prof[("tokens", "max_size")] <= 8192.0
     assert prof[("source", "max_len")] >= 3.0
+
+
+def test_drift_profile_save_load_roundtrip(spark, engine, tmp_path):
+    df = make_sequences(spark, 1000, violations=False)
+    base = engine.profile(df)
+    engine.save_profile(base, str(tmp_path / "profile"))
+    loaded = engine.load_profile(spark, str(tmp_path / "profile"))
+    assert set(loaded) == set(base)
+    # loaded profile accepts a clean resample, exactly like the live one
+    results = engine.drift(make_sequences(spark, 1000, seed=9,
+                                          violations=False), loaded)
+    assert results and all(r["verdict"] == "pass" for r in results)
