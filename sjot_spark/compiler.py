@@ -164,17 +164,44 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
     if isinstance(t, UnionT):
         # columns have one fixed Spark type: dispatch statically to the
         # members compatible with dt (SJOT dispatches per value on JS
-        # typeof, index.js:802-909 — same decision, made once)
+        # typeof, index.js:802-909 — same decision, made once).
+        # Object members with @if/@then are runtime-discriminated: when
+        # the @if field is present, the @then type DECIDES — a
+        # when-chain, exclusive over the fall-through members, exactly
+        # like the reference picks the member by discriminator before
+        # try-all (index.js:878-900).
+        discriminated: list[tuple[Column, Column]] = []
         preds = []
         for m in t.members:
+            node = m
+            while isinstance(node, Ref):
+                node = resolve(node.name)
+            if (isinstance(node, ObjectT) and node.if_then
+                    and isinstance(dt, T.StructType)):
+                fields = {f.name: f for f in dt.fields}
+                for ifprop, then in node.if_then:
+                    if ifprop not in fields:
+                        continue
+                    then_p = scalar_pred(then, c, dt, resolve)
+                    discriminated.append((
+                        c.getField(ifprop).isNotNull(),
+                        F.lit(True) if then_p is None else then_p))
+                continue
             try:
                 p = scalar_pred(m, c, dt, resolve)
             except SpecError:
                 continue
             preds.append(F.lit(True) if p is None else p)
-        if not preds:
+        if not preds and not discriminated:
             raise SpecError(f"no union member matches column type {dt}")
-        return reduce(or_, preds)
+        fallthrough = reduce(or_, preds) if preds else F.lit(False)
+        if not discriminated:
+            return fallthrough
+        chain = None
+        for cond, then_p in discriminated:
+            chain = (F.when(cond, then_p) if chain is None
+                     else chain.when(cond, then_p))
+        return chain.otherwise(fallthrough)
     if isinstance(t, ArrayOf):
         # nested arrays (A6): compose bounds + element typing + set
         # uniqueness into one predicate, recursing through forall

@@ -251,3 +251,46 @@ def test_struct_column_object_type(spark):
         "k string, o struct<x:int,y:string>",
     )
     assert viol == {"r2": {"o_type"}, "r3": {"o_type"}}
+
+
+def test_union_if_then_discrimination_on_struct(spark):
+    """@if/@then union dispatch (index.js:878-900): when the @if field
+    is present, the @then object type applies."""
+    spec = {"@root": "#T",
+            "T": {"k": "string",
+                  "o?": [[
+                      {"tag?": "string", "v?": "0..9",
+                       "@if": "tag", "@then": {"tag?": "string", "v?": "0..9"}},
+                      {"w?": "string"},
+                  ]]},
+            "@table": {"key": "k"}}
+    viol = run_checks(
+        spark, spec,
+        [("r1", ("x", 5, None)),      # discriminated: tag present, v ok
+         ("r2", ("x", 55, None)),     # discriminated: v out of range
+         ("r3", (None, None, "w")),   # falls through to the {w} member
+        ],
+        "k string, o struct<tag:string,v:int,w:string>",
+    )
+    assert viol == {"r2": {"o_type"}}
+
+
+def test_nullable_integer_union_from_json_schema(spark):
+    """The common JSON Schema {"type": ["integer","null"]} pattern must
+    survive conversion and validate correctly (round-2 of the
+    union-null review finding)."""
+    from sjot_spark.jsonschema import from_json_schema
+
+    js = {"type": "object",
+          "properties": {"k": {"type": "string"},
+                         "x": {"type": ["integer", "null"]}},
+          "required": ["k", "x"]}
+    spec = from_json_schema(js, root_name="T")
+    spec.doc["@table"] = {"key": "k"}
+    spec = type(spec)(spec.doc)
+    viol = run_checks(
+        spark, spec,
+        [("a", 5), ("b", None)],
+        "k string, x int",
+    )
+    assert viol == {}  # null admitted by the union, 5 is an integer
