@@ -507,8 +507,15 @@ def _compile_column(
         # A1: element typing via forall — one vectorized pass
         elem_dt = dt.elementType
         # dry-build once to learn whether the item type needs a runtime
-        # predicate at all (None = schema already guarantees it)
-        needs_elem = scalar_pred(t.item, F.lit(0), elem_dt, resolve) is not None
+        # predicate (None = schema already guarantees it); container
+        # items always need one (null sub-arrays/structs must be caught)
+        item_dry = t.item
+        while isinstance(item_dry, Ref):
+            item_dry = resolve(item_dry.name)
+        needs_elem = (
+            scalar_pred(t.item, F.lit(0), elem_dt, resolve) is not None
+            or isinstance(item_dry, (ArrayOf, Tuple, ObjectT))
+        )
 
         def elem_pred(x: Column) -> Column:
             p = scalar_pred(t.item, x, elem_dt, resolve)
