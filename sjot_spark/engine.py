@@ -53,7 +53,14 @@ class ValidationResult:
 class ValidationEngine:
     """Compile once, validate any number of DataFrames of that shape."""
 
-    def __init__(self, spec: CheckSpec | dict | str):
+    def __init__(self, spec: CheckSpec | dict | str, detail_level: str = "full"):
+        """``detail_level``: 'full' builds SJOT-shaped diagnostic
+        strings for failing rows; 'fast' emits null details — the
+        analog of the reference's FAST build variant, which strips the
+        error-detail paths (/root/reference/build.sh:19-26)."""
+        if detail_level not in ("full", "fast"):
+            raise SpecError("detail_level must be 'full' or 'fast'")
+        self.detail_level = detail_level
         self.spec = spec if isinstance(spec, CheckSpec) else CheckSpec(spec)
         self.spec.check()
         self._compiled: CompiledSpec | None = None
@@ -140,13 +147,14 @@ class ValidationEngine:
         all_pass = reduce(
             and_, (F.coalesce(c.passed, F.lit(False)) for c in comp.row_checks)
         )
+        fast = self.detail_level == "fast"
         structs = [
             F.struct(
                 F.lit(c.check_id).alias("check_id"),
                 F.coalesce(c.passed, F.lit(False)).alias("ok"),
-                F.when(
+                (F.lit(None).cast("string") if fast else F.when(
                     ~F.coalesce(c.passed, F.lit(False)), c.detail
-                ).alias("detail"),
+                )).alias("detail"),
             )
             for c in comp.row_checks
         ]

@@ -243,5 +243,17 @@ class CheckSpec:
     def from_json(cls, text: str) -> "CheckSpec":
         return cls(json.loads(text))
 
+    @classmethod
+    def load(cls, spark, path: str) -> "CheckSpec":
+        """Load a spec document from any Hadoop-compatible filesystem
+        (file://, s3://, hdfs://, ...) — the distributed-storage analog
+        of the reference's remote URI#name schema loading
+        (/root/reference/index.js:1166-1191), minus the synchronous
+        HTTP: specs live next to the data they govern."""
+        text = "\n".join(
+            r[0] for r in spark.read.text(path, wholetext=True).collect()
+        )
+        return cls(json.loads(text))
+
     def to_json(self) -> str:
         return json.dumps(self.doc, indent=2)

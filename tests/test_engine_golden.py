@@ -170,3 +170,30 @@ def test_repair_fills_null_array_elements(spark):
     fixed = {r.k: r.a for r in eng.repair(df).collect()}
     assert fixed["x"] == [1, 0, 3]
     assert fixed["y"] is None  # optional column stays absent
+
+
+def test_fast_detail_level(spark):
+    """FAST-build analog: same violations, null details."""
+    df = make_sequences(spark, 500, violations=True)
+    dims = {"allowed_sources": make_allowed_sources(spark)}
+    full = ValidationEngine(SEQUENCE_SPEC).run(df, dims=dims)
+    fast = ValidationEngine(SEQUENCE_SPEC, detail_level="fast").run(df, dims=dims)
+    a = {(r.key, r.check_id) for r in full.violations.collect()}
+    b = {(r.key, r.check_id) for r in fast.violations.collect()}
+    assert a == b
+    row_checks = set(fast.check_ids)
+    for r in fast.violations.collect():
+        if r.check_id in row_checks:  # plan checks keep their details
+            assert r.detail is None
+
+
+def test_spec_load_from_filesystem(spark, tmp_path):
+    import json
+
+    from sjot_spark.spec.spec import CheckSpec
+
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(SEQUENCE_SPEC))
+    spec = CheckSpec.load(spark, f"file://{p}")
+    assert spec.check() is True
+    assert spec.root_name == "Sequence"
