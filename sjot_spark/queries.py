@@ -776,3 +776,148 @@ FROM tok GROUP BY source
 
 QUERIES["tokenize_stats"] = q_tokenize_stats
 ORACLES["tokenize_stats"] = ORACLE_TOKENIZE
+
+
+def _oracle_minhash() -> str:
+    """The full MinHash+LSH pipeline in SQL: the md5-based hash family
+    and linear permutations are engine-independent by construction, so
+    even the banded LSH candidates reproduce exactly."""
+    from sjot_spark.datapipe.dedup import _MERSENNE31, _perm_params
+
+    perms = _perm_params(16)
+    sig_cols = ",\n  ".join(
+        f"MIN((hv*{a}+{b})%{_MERSENNE31}) AS s{i}"
+        for i, (a, b) in enumerate(perms))
+    bands = " UNION ALL ".join(
+        f"SELECT doc, '{b}_'||s{b*4}||'_'||s{b*4+1}||'_'||s{b*4+2}||'_'||s{b*4+3}"
+        f" AS band_key FROM sig"
+        for b in range(4))
+    return rf"""
+WITH toks AS (SELECT doc_id AS doc, regexp_split_to_array(trim(text),'\s+') AS t
+              FROM documents WHERE doc_id < 200),
+sh AS (SELECT DISTINCT doc, t[i]||' '||t[i+1]||' '||t[i+2] AS sh
+       FROM toks, LATERAL UNNEST(generate_series(1, len(t)-2)) AS g(i)
+       WHERE len(t) >= 3),
+h AS (SELECT doc, sh, ('0x'||substr(md5(sh),1,15))::BIGINT % {_MERSENNE31} AS hv FROM sh),
+sig AS (SELECT doc, {sig_cols} FROM h GROUP BY doc),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         FROM bands a JOIN bands b USING (band_key) WHERE a.doc < b.doc),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+          FROM cand JOIN sh sa ON sa.doc = cand.doc_a
+                    JOIN sh sb ON sb.doc = cand.doc_b AND sb.sh = sa.sh
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE inter >= 0.3 * (sa.sz + sb.sz - inter)
+"""
+
+
+def q_cosine_dup_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute force on a slice
+    (the oracle twin of the LSH-bucketed cosine_dup_candidates scale
+    path): pairs with cosine >= 0.8 among vec_id < 300."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    from sjot_spark.datapipe.similarity import cosine
+
+    pairs = (
+        emb.alias("a").join(emb.alias("b"),
+                            F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding"))
+            .cast("double").alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.8)
+        .select("vec_a", "vec_b")
+    )
+    return pairs
+
+
+ORACLE_COSINE_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+"""
+
+QUERIES["cosine_dup_exact"] = q_cosine_dup_exact
+ORACLES["cosine_dup_exact"] = ORACLE_COSINE_DUP
+ORACLES["minhash_lsh"] = _oracle_minhash()
+
+
+def _oracle_simhash() -> str:
+    """SimHash pipeline in SQL: per-token md5 bit strings, per-bit
+    +-1 sums, sign-packed 60-bit signature, 16-bit chunk buckets,
+    Hamming verify — bit-for-bit the Spark implementation."""
+    bit_terms = ",\n    ".join(
+        f"SUM(CASE WHEN substr(b,{p},1)='1' THEN 1 ELSE -1 END) AS c{p}"
+        for p in range(1, 61))
+    sig_expr = " + ".join(
+        f"CASE WHEN c{p} > 0 THEN {1 << (60 - p)}::BIGINT ELSE 0 END"
+        for p in range(1, 61))
+    chunks = " UNION ALL ".join(
+        f"SELECT doc, sig, '{i}_' || ((sig >> {i*16}) & 65535) AS chunk FROM sig"
+        for i in range(4))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id AS doc, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE doc_id < 200),
+bits AS (
+  SELECT doc, lpad(bin(('0x'||substr(md5(t),1,15))::BIGINT), 60, '0') AS b
+  FROM tok),
+cnt AS (SELECT doc, {bit_terms} FROM bits GROUP BY doc),
+sig AS (SELECT doc, ({sig_expr}) AS sig FROM cnt),
+chunks AS ({chunks}),
+cand AS (SELECT DISTINCT a.doc AS doc_a, a.sig AS sig_a,
+                b.doc AS doc_b, b.sig AS sig_b
+         FROM chunks a JOIN chunks b USING (chunk) WHERE a.doc < b.doc)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+ORACLES["simhash_pairs"] = _oracle_simhash()
+
+
+def _oracle_fingerprint() -> str:
+    """Winnowed rolling-hash fingerprint pipeline in SQL (lead-window
+    k-grams + sliding-min winnowing), mirroring
+    datapipe.fingerprint.fingerprints_exploded term by term."""
+    from sjot_spark.datapipe.fingerprint import _B, _P
+
+    k, w, min_shared = 5, 8, 2
+    terms = " + ".join(
+        f"(lead(th, {j}) OVER wo * {pow(_B, k-1-j, _P)}) % {_P}"
+        for j in range(k))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id AS doc, g.i AS pos, t[g.i+1] AS tk
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 200) d,
+       LATERAL UNNEST(generate_series(0, len(t)-1)) AS g(i)),
+th AS (SELECT doc, pos,
+              ('0x'||substr(md5(tk),1,15))::BIGINT % 2147483647 AS th
+       FROM tok),
+grams AS (
+  SELECT doc, pos, ({terms}) % {_P} AS gh
+  FROM th WINDOW wo AS (PARTITION BY doc ORDER BY pos)
+  QUALIFY gh IS NOT NULL),
+winnow AS (
+  SELECT doc, pos, gh,
+         MIN(gh) OVER (PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w-1} FOLLOWING) AS win_min,
+         COUNT(*) OVER (PARTITION BY doc) AS n,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS rn
+  FROM grams),
+fp AS (SELECT DISTINCT doc, CASE WHEN n < {w} THEN gh ELSE win_min END AS fp
+       FROM winnow WHERE rn <= n - {w} + 1 OR n < {w})
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""
+
+
+ORACLES["fingerprint_overlap"] = _oracle_fingerprint()
