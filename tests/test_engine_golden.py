@@ -197,3 +197,12 @@ def test_spec_load_from_filesystem(spark, tmp_path):
     spec = CheckSpec.load(spark, f"file://{p}")
     assert spec.check() is True
     assert spec.root_name == "Sequence"
+
+
+def test_empty_table(spark):
+    """Zero-row input: empty violations, empty verdicts, passes."""
+    eng = ValidationEngine(SEQUENCE_SPEC)
+    df = make_sequences(spark, 0, violations=False).limit(0)
+    res = eng.run(df, dims={"allowed_sources": make_allowed_sources(spark)})
+    assert res.violations.count() == 0
+    assert res.verdicts.count() == 0

@@ -294,3 +294,16 @@ def test_nullable_integer_union_from_json_schema(spark):
         "k string, x int",
     )
     assert viol == {}  # null admitted by the union, 5 is an integer
+
+
+def test_any_combinator(spark):
+    spec = {"@root": "#T",
+            "T": {"k": "string", "x?": "int", "y?": "int",
+                  "@any": [["x", "y"]]},
+            "@table": {"key": "k"}}
+    viol = run_checks(
+        spark, spec,
+        [("r1", 1, None), ("r2", None, None), ("r3", None, 2)],
+        "k string, x int, y int",
+    )
+    assert viol == {"r2": {"any_x_y"}}
