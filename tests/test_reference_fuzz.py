@@ -26,6 +26,23 @@ console.log(JSON.stringify(cases.map(c => {
 })));
 """
 
+_DRIVER_KIND = r"""
+const SJOT = require("/root/reference/index.js");
+const cases = JSON.parse(require("fs").readFileSync(0, "utf8"));
+console.log(JSON.stringify(cases.map(c => {
+  try { return SJOT.valid(c.data, c.type); } catch (e) { return false; }
+})));
+"""
+
+
+def run_reference(cases):
+    """cases: [{'kind': 'valid', 'data': ..., 'type': ...}]"""
+    p = subprocess.run(
+        [node, "-e", _DRIVER_KIND], input=json.dumps(cases).encode(),
+        capture_output=True, check=True,
+    )
+    return json.loads(p.stdout)
+
 
 def _rand_literal(rng):
     v = rng.choice([0, 1, 2, 5, 10, -1, -5, 100])
@@ -82,3 +99,66 @@ def test_random_ranges_match_reference():
     assert not mismatches, (
         f"{len(mismatches)} divergences from reference; first 10: "
         f"{mismatches[:10]}")
+
+
+def test_random_array_and_set_types_match_reference():
+    """Array/set/bounds semantics fuzz: random int arrays vs random
+    `elem[bounds]` / `elem{bounds}` type strings, judged by the real
+    reference. (Null elements excluded: the reference mutates them to
+    defaults; our engine flags them — documented divergence.)"""
+    import random
+
+    from sjot_spark.spec.typestr import parse_type, ArrayOf
+    from sjot_spark.spec.pyeval import _array_ok
+
+    rng = random.Random(77)
+    cases, ours = [], []
+    for _ in range(150):
+        elem = rng.choice(["int", "0..9", "1,3..5", "-5..5", "ubyte"])
+        brace = rng.choice("[{")
+        close = "]" if brace == "[" else "}"
+        b = rng.choice(["", "2", "1,3", ",4", "2,"])
+        t = f"{elem}{brace}{b}{close}"
+        try:
+            node = parse_type(t)
+        except Exception:
+            continue
+        if not isinstance(node, ArrayOf):
+            continue
+        for _ in range(6):
+            arr = [rng.randint(-6, 12) for _ in range(rng.randint(0, 5))]
+            cases.append({"kind": "valid", "data": arr, "type": t})
+            ours.append(_array_ok(node, arr, "array<int>",
+                                  lambda n: (_ for _ in ()).throw(KeyError(n))))
+    assert len(cases) > 400
+    expected = run_reference(cases)
+    mismatches = [
+        (c["type"], c["data"], e, g)
+        for c, e, g in zip(cases, expected, ours) if e != g
+    ]
+    assert not mismatches, f"{len(mismatches)} divergences; first: {mismatches[:8]}"
+
+
+def test_char_bounds_fuzz_vs_reference():
+    import random
+
+    from sjot_spark.spec.typestr import parse_type, CharLen
+
+    rng = random.Random(99)
+    cases, ours = [], []
+    for _ in range(60):
+        b = rng.choice(["1", "2,4", ",3", "2,", ""])
+        t = f"char[{b}]"
+        node = parse_type(t)
+        for s in ["", "a", "ab", "abc", "abcd", "abcde"]:
+            cases.append({"kind": "valid", "data": s, "type": t})
+            if isinstance(node, CharLen):
+                ours.append(node.bounds.check_len(len(s)))
+            else:
+                ours.append(len(s) == 1)
+    expected = run_reference(cases)
+    mismatches = [
+        (c["type"], c["data"], e, g)
+        for c, e, g in zip(cases, expected, ours) if e != g
+    ]
+    assert not mismatches, mismatches[:8]
