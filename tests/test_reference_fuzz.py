@@ -162,3 +162,63 @@ def test_char_bounds_fuzz_vs_reference():
         for c, e, g in zip(cases, expected, ours) if e != g
     ]
     assert not mismatches, mismatches[:8]
+
+
+_DRIVER_CHECK = r"""
+const SJOT = require("/root/reference/index.js");
+const cases = JSON.parse(require("fs").readFileSync(0, "utf8"));
+console.log(JSON.stringify(cases.map(s => {
+  try { SJOT.check(s); return true; } catch (e) { return false; }
+})));
+"""
+
+
+def test_random_schema_checker_parity():
+    """Spec-checker fuzz (S1-S3 parity): random object schemas with
+    propset combinators, judged accept/reject by both SJOT.check and
+    CheckSpec.check. Generator confined to the shared feature set."""
+    import random
+
+    from sjot_spark.errors import SpecError
+    from sjot_spark.spec.spec import CheckSpec
+
+    rng = random.Random(4242)
+    types = ["int", "string", "boolean", "0..9", "1,3..5", "char[2,4]",
+             "date", "int[]", "-5..5{1,3}"]
+    schemas, ours = [], []
+    for _ in range(150):
+        props = {}
+        names = [f"p{i}" for i in range(rng.randint(2, 5))]
+        optional = []
+        for n in names:
+            opt = rng.random() < 0.7
+            key = f"{n}?" if opt else n
+            if opt:
+                optional.append(n)
+            props[key] = rng.choice(types)
+        # random propset directives over a pool that may include
+        # required props (invalid) or unknown names (invalid)
+        pool = names + ["ghost"]
+        for d in ("@one", "@any", "@all"):
+            if rng.random() < 0.5 and len(pool) >= 2:
+                props[d] = [rng.sample(pool, 2)]
+        if rng.random() < 0.4:
+            a, b = rng.sample(pool, 2)
+            props["@dep"] = {a: [b]}
+        schema = {"@root": "#T", "T": props}
+        schemas.append(schema)
+        try:
+            CheckSpec(schema).check()
+            ours.append(True)
+        except SpecError:
+            ours.append(False)
+    p = subprocess.run(
+        [node, "-e", _DRIVER_CHECK], input=json.dumps(schemas).encode(),
+        capture_output=True, check=True,
+    )
+    expected = json.loads(p.stdout)
+    mismatches = [
+        (s["T"], e, g) for s, e, g in zip(schemas, expected, ours) if e != g
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)} checker divergences; first 3: {mismatches[:3]}")
