@@ -59,3 +59,43 @@ def run_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_drift_monitor(
+    engine: ValidationEngine,
+    sdf: DataFrame,
+    baselines: dict[str, DataFrame],
+    out_dir: str,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous drift monitoring: every micro-batch's histograms are
+    tested against the stored baseline profile and the per-(check,
+    group) verdicts appended to ``out_dir``/drift. Catches
+    distribution shift as data lands rather than at the next batch
+    audit. Returns the StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        results = engine.drift(batch_df, baselines)
+        if not results:
+            return
+        spark = batch_df.sparkSession
+        rows = [
+            (batch_id, r["check_id"], r["group"], r["test"],
+             float(r["stat"]), float(r["pvalue"]), r["verdict"])
+            for r in results
+        ]
+        spark.createDataFrame(
+            rows,
+            "batch_id long, check_id string, group string, test string, "
+            "stat double, pvalue double, verdict string",
+        ).write.mode("append").parquet(f"{out_dir}/drift")
+
+    writer = sdf.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -114,3 +114,43 @@ def test_stateful_cross_batch_duplicate_detection(spark, tmp_path):
     got = {(r.key, r.n_prior) for r in spark.sql("select * from dupmem").collect()}
     # in-batch dup of a (prior=1), cross-batch: c (prior=1), a (prior=2)
     assert got == {("a", 1), ("c", 1), ("a", 2)}
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-micro-batch drift verdicts: a clean batch passes, a
+    length-shifted batch fails, each recorded with its batch id."""
+    from sjot_spark.fixtures import drifted_sequences
+    from sjot_spark.streaming.stream import run_drift_monitor
+
+    spec = {
+        **{k: v for k, v in SEQUENCE_SPEC.items() if k != "@table"},
+        "@table": {"key": "doc_id", "partition_by": "source",
+                   "drift": {"len_ks": {
+                       "kind": "length_histogram", "column": "tokens",
+                       "bucket_width": 64, "group_by": None,
+                       "test": "ks", "alpha": 0.001}}},
+    }
+    eng = ValidationEngine(spec)
+    base = eng.profile(make_sequences(spark, 3000, violations=False))
+    base = {k: v.localCheckpoint() for k, v in base.items()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    make_sequences(spark, 3000, seed=5, violations=False) \
+        .coalesce(1).write.parquet(str(src / "clean"))
+    drifted_sequences(spark, 3000, seed=6, kind="length") \
+        .coalesce(1).write.parquet(str(src / "shifted"))
+    sdf = (spark.readStream
+           .schema("doc_id string, tokens array<int>, n_tok int, source string")
+           .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = str(tmp_path / "out")
+    q = run_drift_monitor(eng, sdf, base, out,
+                          checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    rows = spark.read.parquet(f"{out}/drift").collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r.verdict)
+    assert len(by_batch) == 2
+    verdict_sets = sorted(tuple(sorted(set(v))) for v in by_batch.values())
+    assert verdict_sets == [("fail",), ("pass",)]
