@@ -107,3 +107,23 @@ def profile_documents(df: DataFrame) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+def quality_score_1000(text: Column, n_chars: Column) -> Column:
+    """Integer quality score in [0, 1000] from exact surface
+    statistics (integer arithmetic only, so any engine reproduces it
+    bit-for-bit): length component (capped chars), lexical diversity
+    (distinct/total tokens), and stopword presence."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_distinct = F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(F.array_distinct(toks)))
+    len_comp = F.least(F.lit(400), n_chars)                 # 0..400
+    # diversity: floor(400 * distinct / total); explicit floor —
+    # engines disagree on double->int cast (truncate vs round)
+    div_comp = F.when(
+        n_tok > 0, F.floor(n_distinct * 400 / n_tok)
+    ).otherwise(0).cast("long")                             # 0..400
+    stop_comp = F.least(F.lit(200), stopword_hits(text) * 20)  # 0..200
+    return (len_comp + div_comp + stop_comp).cast("long")

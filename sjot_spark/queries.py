@@ -921,3 +921,40 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
 
 
 ORACLES["fingerprint_overlap"] = _oracle_fingerprint()
+
+
+def q_quality_scores(spark, sf_dir):
+    """Integer-exact per-document quality score (length + lexical
+    diversity + stopword components; see datapipe.text)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        text.quality_score_1000(F.col("text"), F.col("n_chars"))
+        .alias("score"),
+    )
+
+
+def _oracle_quality_scores() -> str:
+    stop = " + ".join(
+        f"(len(string_split(' ' || text || ' ', ' {w} ')) - 1)"
+        for w in text.STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+         END AS n_distinct
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+       (LEAST(400, n_chars)
+        + CASE WHEN n_tok > 0
+               THEN CAST(FLOOR(n_distinct * 400 / n_tok) AS BIGINT) ELSE 0 END
+        + LEAST(200, ({stop}) * 20))::BIGINT AS score
+FROM t
+"""
+
+
+QUERIES["quality_scores"] = q_quality_scores
+ORACLES["quality_scores"] = _oracle_quality_scores()
