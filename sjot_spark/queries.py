@@ -958,3 +958,77 @@ FROM t
 
 QUERIES["quality_scores"] = q_quality_scores
 ORACLES["quality_scores"] = _oracle_quality_scores()
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Shipmode/priority counts (TPC-H q12 flavor): join + conditional
+    aggregation, all-integer output."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where((F.col("l_shipdate") >= "1996-01-01")
+               & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority")
+                         .isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("o_orderpriority")
+                         .isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Top-20 customers by returned-item revenue (TPC-H q10 flavor)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .where((F.col("o_orderdate") >= "1996-01-01")
+               & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01'
+  AND o_orderdate < '1997-01-01'
+GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+QUERIES.update({"tpch_q10": q_tpch_q10, "tpch_q12": q_tpch_q12})
+ORACLES.update({"tpch_q10": ORACLE_TPCH_Q10, "tpch_q12": ORACLE_TPCH_Q12})

@@ -87,3 +87,22 @@ def test_filters_and_projection_reach_the_scan(spark, tmp_path):
     read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert set(read_cols) <= {"l_shipdate", "l_discount", "l_quantity",
                               "l_extendedprice"}, read_cols
+
+
+def test_bucketed_table_makes_uniqueness_shuffle_free(spark, tmp_path):
+    """SCALING.md claim: on a table bucketed by the key, the exact-
+    uniqueness aggregation (the system's ONLY full-width shuffle)
+    needs no Exchange at all — the bucketed scan already co-locates
+    keys."""
+    from sjot_spark.fixtures import make_sequences
+
+    spark.sql("DROP TABLE IF EXISTS seq_bucketed_test")
+    make_sequences(spark, 1000, violations=False).write \
+        .bucketBy(8, "doc_id").sortBy("doc_id") \
+        .mode("overwrite").saveAsTable("seq_bucketed_test")
+    t = spark.table("seq_bucketed_test")
+    plan = (t.groupBy("doc_id").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    spark.sql("DROP TABLE IF EXISTS seq_bucketed_test")
