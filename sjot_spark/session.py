@@ -27,6 +27,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 3x on token-array scans (measured 3.9s vs 11.9s for a 6M-row
+        # size-sum); default-on in Spark 4 but pinned against drift
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
