@@ -134,3 +134,14 @@ def test_drift_profile_save_load_roundtrip(spark, engine, tmp_path):
     results = engine.drift(make_sequences(spark, 1000, seed=9,
                                           violations=False), loaded)
     assert results and all(r["verdict"] == "pass" for r in results)
+
+
+def test_value_histogram_formulations_agree(spark):
+    from sjot_spark.plan.drift import value_histogram, value_histogram_jvm
+
+    df = make_sequences(spark, 1500, violations=False)
+    a = {(r.group, r.bucket): r.cnt
+         for r in value_histogram(df, "tokens", 1024, "source").collect()}
+    b = {(r.group, r.bucket): r.cnt
+         for r in value_histogram_jvm(df, "tokens", 1024, "source").collect()}
+    assert a == b
