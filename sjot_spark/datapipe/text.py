@@ -104,7 +104,7 @@ def profile_documents(df: DataFrame) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
             F.sum("stop_hits").alias("sum_stop_hits"),
             F.sum("n_chars").alias("sum_chars"),
-            F.max("n_tokens").alias("max_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
 

@@ -3,7 +3,16 @@
 twin run by DuckDB on the same parquet — the correctness oracle.
 
 Cross-engine comparison rules used throughout:
-- metrics are integer- or decimal-valued (never raw float aggregates);
+- metrics are integer-valued wherever possible (never raw float
+  aggregates): money/quantity aggregates are exact scaled integers
+  (``*_cents`` / ``*_x100`` / ``*_x10000``) computed per-row as
+  ``(CAST(x AS DECIMAL(18,2)) * 100)::BIGINT`` on both engines —
+  round-1 showed DuckDB HUGEINT / differently-scaled DECIMAL sums
+  hash-mismatch in the driver gate even when values are equal
+  (VERDICT.md r1 "What's wrong" #1), and BIGINT is the one result
+  type with a perfect cross-engine record;
+- every DuckDB SUM is wrapped in ``::BIGINT`` (DuckDB sums integers
+  to HUGEINT, which Spark has no analog for);
 - ranks/top-k always carry a deterministic tie-break;
 - hash/fingerprint functions are md5-based (identical in DuckDB);
 - output column names are identical on both sides.
@@ -41,6 +50,18 @@ DOC_SPEC = {
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _cents(col: str):
+    """Exact integer cents of a 2-decimal double column. The
+    DECIMAL(18,2) cast is exact on both engines for 2-decimal data
+    (proven green in round 1); *100 then BIGINT is exact integer math
+    thereafter. DuckDB twin: (CAST(c AS DECIMAL(18,2))*100)::BIGINT."""
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _sql_cents(col: str) -> str:
+    return f"(CAST({col} AS DECIMAL(18,2)) * 100)::BIGINT"
 
 
 def _dims(spark: SparkSession) -> dict[str, DataFrame]:
@@ -127,9 +148,9 @@ def _sql_word_count(word: str) -> str:
 ORACLE_TEXT_PROFILE = f"""
 SELECT source, COUNT(*) AS n_docs,
        SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
-       SUM({" + ".join(_sql_word_count(w) for w in text.STOPWORDS)}) AS sum_stop_hits,
-       SUM(n_chars) AS sum_chars,
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS sum_tokens,
+       SUM({" + ".join(_sql_word_count(w) for w in text.STOPWORDS)})::BIGINT AS sum_stop_hits,
+       SUM(n_chars)::BIGINT AS sum_chars,
        MAX(CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS max_tokens
 FROM documents GROUP BY source
@@ -294,15 +315,15 @@ def q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(_cents("value")).alias("sum_value_cents"),
         )
     )
 
 
-ORACLE_EVENTS_HOURLY = """
+ORACLE_EVENTS_HOURLY = f"""
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       SUM({_sql_cents("value")})::BIGINT AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -331,7 +352,7 @@ WITH marked AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               IS NULL THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions, COUNT(*) AS n_events
 FROM marked GROUP BY user_id
 """
 
@@ -362,17 +383,17 @@ def q_tpch_q1(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_x100"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_x100"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-ORACLE_TPCH_Q1 = """
+ORACLE_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM({_sql_cents("l_quantity")})::BIGINT AS sum_qty_x100,
+       SUM({_sql_cents("l_extendedprice")})::BIGINT AS sum_base_price_x100,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -409,14 +430,23 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """
 
 
+def _rev_x10000():
+    """revenue * 10^4 = extendedprice_cents * (100 - discount_x100):
+    pure BIGINT per-row math, exact and identical across engines
+    (l_extendedprice ~1e7 cents * <=100 ~ 1e9/row; group sums stay
+    far below 2^63 even at sf100)."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+_SQL_REV = (f"{_sql_cents('l_extendedprice')}"
+            f" * (100 - {_sql_cents('l_discount')})")
+
+
 def q_tpch_q3(spark, sf_dir):
     cu = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-    )
+    rev = _rev_x10000()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
@@ -426,22 +456,20 @@ def q_tpch_q3(spark, sf_dir):
             & (F.col("l_shipdate") > "1996-01-01")
         )
         .groupBy("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
-        .agg(F.sum(rev).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum(rev).alias("revenue_x10000"))
+        .orderBy(F.desc("revenue_x10000"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-ORACLE_TPCH_Q3 = """
+ORACLE_TPCH_Q3 = f"""
 SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS revenue
+       SUM({_SQL_REV})::BIGINT AS revenue_x10000
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-01-01'
   AND l_shipdate > '1996-01-01'
-GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
+GROUP BY 1, 2 ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10
 """
 
 
@@ -452,10 +480,7 @@ def q_tpch_q5(spark, sf_dir):
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation")
     re = load(spark, sf_dir, "region")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-    )
+    rev = _rev_x10000()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
@@ -469,15 +494,13 @@ def q_tpch_q5(spark, sf_dir):
             & (F.col("o_orderdate") < "1998-01-01")
         )
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).alias("revenue_x10000"))
     )
 
 
-ORACLE_TPCH_Q5 = """
+ORACLE_TPCH_Q5 = f"""
 SELECT n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS revenue
+       SUM({_SQL_REV})::BIGINT AS revenue_x10000
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -654,7 +677,7 @@ def q_events_json_props(spark, sf_dir):
 
 ORACLE_EVENTS_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
@@ -984,9 +1007,9 @@ def q_tpch_q12(spark, sf_dir):
 ORACLE_TPCH_Q12 = """
 SELECT l_linestatus,
        SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
 GROUP BY l_linestatus
@@ -999,10 +1022,7 @@ def q_tpch_q10(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     cu = load(spark, sf_dir, "customer")
     na = load(spark, sf_dir, "nation")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-    )
+    rev = _rev_x10000()
     return (
         li.where(F.col("l_returnflag") == "R")
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -1011,23 +1031,21 @@ def q_tpch_q10(spark, sf_dir):
         .where((F.col("o_orderdate") >= "1996-01-01")
                & (F.col("o_orderdate") < "1997-01-01"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(rev).alias("revenue_x10000"))
+        .orderBy(F.desc("revenue_x10000"), F.asc("c_custkey"))
         .limit(20)
     )
 
 
-ORACLE_TPCH_Q10 = """
+ORACLE_TPCH_Q10 = f"""
 SELECT c_custkey, c_name, n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-       AS revenue
+       SUM({_SQL_REV})::BIGINT AS revenue_x10000
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01'
   AND o_orderdate < '1997-01-01'
-GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+GROUP BY 1, 2, 3 ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20
 """
 
 QUERIES.update({"tpch_q10": q_tpch_q10, "tpch_q12": q_tpch_q12})
