@@ -34,8 +34,41 @@ from sjot_spark.spec.typestr import (
 )
 
 _FLOATY = (T.FloatType, T.DoubleType, T.DecimalType)
+_NANABLE = (T.FloatType, T.DoubleType)  # isnan() only analyzes on these
 _INTY = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _FLOATY + _INTY
+
+# value range each integral Spark type can physically hold — bounds
+# outside it are statically true and elided (this also makes ulong's
+# 2^64-1 upper bound compilable: it never reaches F.lit for integral
+# columns, and floats get a decimal literal instead; index.js:532-536)
+_INT_DOMAIN = {
+    T.ByteType: (-(2 ** 7), 2 ** 7 - 1),
+    T.ShortType: (-(2 ** 15), 2 ** 15 - 1),
+    T.IntegerType: (-(2 ** 31), 2 ** 31 - 1),
+    T.LongType: (-(2 ** 63), 2 ** 63 - 1),
+}
+
+_I64_MIN, _I64_MAX = -(2 ** 63), 2 ** 63 - 1
+
+
+def _int_lit(v: int) -> Column:
+    """Integer literal Column; values beyond int64 (only ulong's hi
+    bound, 2^64-1) compile as an exact DECIMAL(20,0) literal because
+    F.lit raises NumberFormatException past the long domain."""
+    if _I64_MIN <= v <= _I64_MAX:
+        return F.lit(v)
+    from decimal import Decimal
+
+    return F.lit(Decimal(v)).cast("decimal(20,0)")
+
+
+def _not_nan(c: Column, dt: T.DataType) -> Column:
+    """JS numeric comparisons with NaN are all false, so the reference
+    rejects NaN from every range/sized-int/integer check; Spark treats
+    NaN as equal-to-NaN and greater-than-everything, so it must be
+    excluded explicitly (ADVICE r1)."""
+    return ~F.isnan(c) if isinstance(dt, _NANABLE) else F.lit(True)
 
 
 @dataclass(frozen=True)
@@ -115,16 +148,26 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
     if isinstance(t, Range):
         if not isinstance(dt, _NUMERIC):
             raise SpecError(f"range type on non-numeric column type {dt}")
-        return range_pred(t.spec, c, isinstance(dt, _FLOATY))
+        p = range_pred(t.spec, c, isinstance(dt, _FLOATY))
+        if isinstance(dt, _NANABLE):
+            p = _not_nan(c, dt) & p
+        return p
     if isinstance(t, SizedInt):
         if not isinstance(dt, _NUMERIC):
             raise SpecError(f"{t.name} type on non-numeric column type {dt}")
-        p = (c >= F.lit(t.lo)) & (c <= F.lit(t.hi))
+        dom = _INT_DOMAIN.get(type(dt))
+        conds = []
+        if dom is None or t.lo > dom[0]:
+            conds.append(c >= _int_lit(t.lo))
+        if dom is None or t.hi < dom[1]:
+            conds.append(c <= _int_lit(t.hi))
         if isinstance(dt, _FLOATY):
-            p = p & (c == F.floor(c))
-        # statically-safe case: e.g. byte column vs int type — still
-        # evaluate (cheap) rather than special-case
-        return p
+            conds.append(c == F.floor(c))
+            if isinstance(dt, _NANABLE):
+                conds.insert(0, _not_nan(c, dt))
+        # both bounds statically unreachable on an integral column
+        # (e.g. ulong over byte): schema already guarantees the check
+        return reduce(and_, conds) if conds else None
     if isinstance(t, Regex):
         if not isinstance(dt, T.StringType):
             raise SpecError(f"regex type on non-string column type {dt}")
@@ -150,7 +193,9 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
         if n == "integer":
             if not isinstance(dt, _NUMERIC):
                 raise SpecError(f"integer type on non-numeric column type {dt}")
-            return c == F.floor(c) if isinstance(dt, _FLOATY) else None
+            if isinstance(dt, _FLOATY):
+                return _not_nan(c, dt) & (c == F.floor(c))
+            return None
         if n == "null":
             # inside unions / struct fields: the value itself must be
             # null (top-level presence handling lives in _compile_column)
@@ -327,6 +372,14 @@ def _interval_elem_pred(
         lo, hi, xlo, xhi = it.lo, it.hi, it.xlo, it.xhi
     else:
         return None
+    # elide bounds the element type can't violate (also keeps ulong's
+    # 2^64-1 out of F.lit, which rejects literals past the long domain)
+    dom = _INT_DOMAIN.get(type(elem_dt))
+    if dom is not None:
+        if lo is not None and not xlo and lo <= dom[0]:
+            lo = None
+        if hi is not None and not xhi and hi >= dom[1]:
+            hi = None
     no_nulls = F.size(F.array_compact(c)) == F.size(c)
     conds = [no_nulls]
     if lo is not None:

@@ -22,6 +22,7 @@ engine_version, completed_at.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -46,12 +47,17 @@ _NULL_PART = "_null_"
 
 def _safe_name(value) -> str:
     """Filesystem-safe manifest name for any partition value type
-    (string/int/date/None)."""
+    (string/int/date/None). Lossy sanitization gets an md5 suffix so
+    distinct values ('a/b' vs 'a_b') never share a manifest file or
+    violations directory (round-1 ADVICE: the second overwrite-write
+    destroyed the first partition's committed output)."""
     if value is None:
         return _NULL_PART
-    return "".join(
-        ch if ch.isalnum() or ch in "-_." else "_" for ch in str(value)
-    ) or _NULL_PART
+    s = str(value)
+    safe = "".join(ch if ch.isalnum() or ch in "-_." else "_" for ch in s)
+    if safe != s or not safe or s == _NULL_PART:
+        safe = (safe or "v") + "_" + hashlib.md5(s.encode()).hexdigest()[:8]
+    return safe
 
 
 def _write_manifest(out_dir: str, name: str, entry: dict) -> None:
@@ -133,6 +139,10 @@ def run_checkpointed(
         vdir = os.path.join(out_dir, "violations", f"{part}={_safe_name(p)}")
         res.violations.write.mode("overwrite").parquet(vdir)
         verd = res.verdicts.collect()
+        # the persisted violations served both the write and the
+        # verdict agg; release it so a long many-partition run doesn't
+        # accumulate one cached DF per slice
+        res.violations.unpersist()
         n_rows = sum(r["n_rows"] for r in verd)
         n_viol = sum(r["n_violations"] for r in verd)
         n_bad = sum(r["n_bad_rows"] for r in verd)

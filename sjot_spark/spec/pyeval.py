@@ -56,7 +56,9 @@ def _scalar_ok(t: TypeNode, v, dtype: str, resolve) -> bool:
         if n == "false":
             return v is False
         if n == "integer":
-            return float(v) == math.floor(v) if _is_float_dtype(dtype) else True
+            if _is_float_dtype(dtype):
+                return not math.isnan(v) and float(v) == math.floor(v)
+            return True
         if n == "null":
             return v is None
         return True  # statically-conformant primitives

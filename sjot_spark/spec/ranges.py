@@ -107,7 +107,10 @@ class RangeSpec:
         return tuple(out)
 
     def match_py(self, v: float) -> bool:
-        """Pure-Python mirror of the validator scan (index.js:543-659)."""
+        """Pure-Python mirror of the validator scan (index.js:543-659).
+        NaN never matches: every JS comparison with NaN is false."""
+        if isinstance(v, float) and math.isnan(v):
+            return False
         isfloat = math.floor(v) != v
         items = self.float_prefix if isfloat else self.items
         return any(it.contains(v) for it in items)

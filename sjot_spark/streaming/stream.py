@@ -48,7 +48,9 @@ def run_foreach_batch(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = engine.run(batch_df, dims=dims)
+        # persist_violations=False: a persisted DF per micro-batch would
+        # accumulate in the cache manager for the life of the stream
+        res = engine.run(batch_df, dims=dims, persist_violations=False)
         (res.violations
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{out_dir}/violations"))

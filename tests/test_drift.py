@@ -145,3 +145,27 @@ def test_value_histogram_formulations_agree(spark):
     b = {(r.group, r.bucket): r.cnt
          for r in value_histogram_jvm(df, "tokens", 1024, "source").collect()}
     assert a == b
+
+
+def test_value_histogram_formulations_agree_out_of_domain(spark):
+    """Negative and >max_value elements must clip into the same edge
+    buckets on both paths (round-1 ADVICE: the JVM variant diverged)."""
+    from sjot_spark.plan.drift import value_histogram, value_histogram_jvm
+
+    rows = [
+        ("d0", [-5, -1, 0, 1023, 1024], "s0"),
+        ("d1", [2 ** 21, 2 ** 21 + 7, (1 << 20) - 1, 1 << 20], "s0"),
+        ("d2", [512, -(2 ** 31), 2 ** 31 - 1], "s1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string")
+    a = {(r.group, r.bucket): r.cnt
+         for r in value_histogram(df, "tokens", 1024, "source").collect()}
+    b = {(r.group, r.bucket): r.cnt
+         for r in value_histogram_jvm(df, "tokens", 1024, "source").collect()}
+    assert a == b
+    n_buckets = (1 << 20) // 1024 + 1
+    assert a[("s0", 0)] == 4          # -5, -1, 0, 1023 all clip/floor to 0
+    assert a[("s1", 0)] == 2          # 512 and INT_MIN (clipped)
+    assert a[("s0", n_buckets - 1)] == 3   # the two 2^21s + 1<<20 clip up
+    assert a[("s1", n_buckets - 1)] == 1   # INT_MAX clips up

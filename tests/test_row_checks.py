@@ -56,6 +56,42 @@ def test_sized_int_parity_long_is_2pow47(spark):
     assert viol == {"bad": {"v_range"}}
 
 
+def test_ulong_compiles_and_validates(spark):
+    """ulong's 2^64-1 upper bound exceeds F.lit's long domain; it must
+    compile (statically-true bound elided on integral columns, decimal
+    literal on floats) instead of crashing (round-1 ADVICE;
+    index.js:532-536)."""
+    spec = {"@root": "#T", "T": {"k": "string", "v?": "ulong",
+                                 "f?": "ulong", "a?": "ulong[]"},
+            "@table": {"key": "k"}}
+    viol = run_checks(
+        spark, spec,
+        [("ok", 2 ** 63 - 1, 12.0, [0, 5]), ("neg", -1, -3.0, [-2]),
+         ("frac", 7, 1.5, [1])],
+        "k string, v long, f double, a array<int>",
+    )
+    assert viol == {"neg": {"v_range", "f_range", "a_element_range"},
+                    "frac": {"f_range"}}
+
+
+def test_nan_rejected_by_ranges_and_sized_ints(spark):
+    """JS comparisons with NaN are all false, so the reference rejects
+    NaN from every numeric check — including lower-bound-only ranges
+    where Spark's NaN-greater-than-everything would otherwise pass it
+    (round-1 ADVICE)."""
+    spec = {"@root": "#T",
+            "T": {"k": "string", "lo?": "0..", "i?": "int",
+                  "g?": "integer"},
+            "@table": {"key": "k"}}
+    nan = float("nan")
+    viol = run_checks(
+        spark, spec,
+        [("r1", nan, nan, nan), ("r2", 5.0, 5.0, 5.0)],
+        "k string, lo double, i double, g double",
+    )
+    assert viol == {"r1": {"lo_range", "i_range", "g_range"}}
+
+
 def test_char_and_regex_and_formats(spark):
     spec = {"@root": "#T",
             "T": {"k": "string", "c?": "char[2,3]", "r?": "(ab+c)",
