@@ -22,9 +22,15 @@ from sjot_spark.datapipe.similarity import cosine, norm, topk_by_sim
 
 def build_ivf(
     df: DataFrame, id_col: str, vec_col: str,
-    nlist: int = 16, seed: int = 42,
+    nlist: int = 16, seed: int = 42, max_fit_rows: int = 100_000,
 ):
-    """Returns (assigned_df with `cell`, centroids: list[(cell, vec)])."""
+    """Returns (assigned_df with `cell`, centroids: list[(cell, vec)]).
+
+    KMeans fits on a bounded deterministic sample (xxhash64(id) mod
+    filter, at most ~max_fit_rows rows): at 100 TB, Lloyd iterations
+    over the full corpus would be ~20 full passes; a 100k-row sample
+    estimates nlist centroids just as well, and the full corpus is
+    touched exactly once by the assignment transform (SCALING.md)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -45,7 +51,13 @@ def build_ivf(
             ).alias("features"),
         )
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(ml)
+    fit_ml = ml
+    n = ml.count()
+    if n > max_fit_rows:
+        denom = (n + max_fit_rows - 1) // max_fit_rows
+        fit_ml = ml.where(
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(denom)) == 0)
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(fit_ml)
     assigned = (
         model.transform(ml)
         .select(F.col("_id").alias(id_col),

@@ -6,7 +6,10 @@ is app-level orchestration:
 
 - the table is processed one `partition_by` value at a time (on an
   Iceberg/parquet table partitioned by that column, each slice is a
-  partition-pruned scan — no full-table rescan per slice);
+  partition-pruned scan — no full-table rescan per slice; asserted in
+  tests/test_plans.py::test_checkpointed_slice_is_partition_pruned.
+  On a NON-partitioned layout each slice re-scans the table: write the
+  source partitioned by the partition column first);
 - each completed partition writes its violations to the sink and then
   an atomic manifest file (tmp + rename) with lineage + metrics;
 - on restart, partitions with a manifest entry are SKIPPED;

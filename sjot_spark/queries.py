@@ -297,11 +297,75 @@ QUALIFY rank <= 5
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Sign-LSH ANN (rows-only driver check; verified against the
-    brute-force baseline in tests/test_datapipe.py)."""
+    """Sign-LSH ANN with a FULL DuckDB oracle: the md5-derived
+    hyperplanes are pure functions of (plane, dim), so the whole
+    signature -> Hamming-candidate -> exact-rerank pipeline reproduces
+    in SQL (cos_sim itself is dropped from the output like knn_cosine;
+    rank carries a deterministic tie-break)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh(emb, "vec_id", "embedding", [0, 1, 2],
-                              k=5, dim=64, n_planes=16, max_hamming=6)
+    return similarity.ann_lsh(
+        emb, "vec_id", "embedding", [0, 1, 2],
+        k=5, dim=64, n_planes=16, max_hamming=6,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _sql_lsh_signature(vec: str, dim: int, n_planes: int) -> str:
+    """Sign-LSH signature in SQL, bit-for-bit the Spark one: each
+    projection is written as an explicit left-to-right sum so DuckDB
+    evaluates the identical double-addition order as Spark's
+    F.aggregate fold (FP addition is not associative; parenthesization
+    is part of the contract)."""
+    from sjot_spark.datapipe.similarity import _hyperplane
+
+    planes = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"{vec}[{d + 1}]*{_hyperplane(p, d)!r}" for d in range(dim))
+        planes.append(
+            f"(CASE WHEN ({terms}) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + "\n + ".join(planes) + ")"
+
+
+def _oracle_ann_lsh() -> str:
+    sig = _sql_lsh_signature("embedding", dim=64, n_planes=16)
+    return f"""
+WITH signed AS (
+  SELECT vec_id AS cid, embedding AS cvec, {sig} AS csig
+  FROM embeddings),
+q AS (SELECT cid AS query_id, cvec AS qvec, csig AS qsig
+      FROM signed WHERE cid IN (0, 1, 2)),
+cand AS (
+  SELECT query_id, cid AS neighbor_id, qvec, cvec
+  FROM signed, q
+  WHERE cid != query_id AND bit_count(xor(csig, qsig)) <= 6)
+SELECT query_id, neighbor_id,
+       row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id
+       ) AS rank
+FROM cand QUALIFY rank <= 5
+"""
+
+
+def q_cosine_dup_lsh(spark, sf_dir):
+    """The embedding near-dup SCALE path through the driver gate:
+    bucket by full sign-LSH signature (only collisions shuffle),
+    verify cosine >= 0.9 (similarity.cosine_dup_candidates)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_candidates(
+        emb, "vec_id", "embedding", dim=64, n_planes=16, threshold=0.9
+    ).select("doc_a", "doc_b")
+
+
+def _oracle_cosine_dup_lsh() -> str:
+    sig = _sql_lsh_signature("embedding", dim=64, n_planes=16)
+    return f"""
+WITH signed AS (
+  SELECT vec_id AS doc, embedding AS vec, {sig} AS sig FROM embeddings)
+SELECT a.doc AS doc_a, b.doc AS doc_b
+FROM signed a JOIN signed b ON a.sig = b.sig AND a.doc < b.doc
+WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9
+"""
 
 
 # ------------------------------------------------------------ events
@@ -543,8 +607,9 @@ ORACLES = {
     "exact_dedup_stats": ORACLE_EXACT_DEDUP,
     "exact_dup_groups": ORACLE_DUP_GROUPS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    # minhash_lsh, simhash_pairs, ann_lsh: rows-only (not SQL-expressible)
+    # minhash_lsh, simhash_pairs oracles attached below (generated SQL)
     "knn_cosine": ORACLE_KNN,
+    "ann_lsh": _oracle_ann_lsh(),
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionization": ORACLE_SESSIONIZATION,
     "top_events_per_user": ORACLE_TOP_EVENTS,
@@ -868,6 +933,8 @@ WHERE a.vec_id < 300 AND b.vec_id < 300
 
 QUERIES["cosine_dup_exact"] = q_cosine_dup_exact
 ORACLES["cosine_dup_exact"] = ORACLE_COSINE_DUP
+QUERIES["cosine_dup_lsh"] = q_cosine_dup_lsh
+ORACLES["cosine_dup_lsh"] = _oracle_cosine_dup_lsh()
 ORACLES["minhash_lsh"] = _oracle_minhash()
 
 
@@ -1050,3 +1117,61 @@ GROUP BY 1, 2, 3 ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20
 
 QUERIES.update({"tpch_q10": q_tpch_q10, "tpch_q12": q_tpch_q12})
 ORACLES.update({"tpch_q10": ORACLE_TPCH_Q10, "tpch_q12": ORACLE_TPCH_Q12})
+
+
+# ---------------------------------------- all-features golden contract
+
+def q_validate_all_features(spark, sf_dir):
+    """Every check class (P1-P12, A1-A6, C1-C6, formats, refs, unions,
+    @extends) through the driver gate in one query — the contract twin
+    of /root/reference/dev/test.js:3-116 (see sjot_spark.allfeatures)."""
+    from sjot_spark.allfeatures import q_validate_all_features as q
+
+    return q(spark, sf_dir)
+
+
+def q_unique_violations(spark, sf_dir):
+    """Cross-row key uniqueness through the driver gate: the documents
+    table unioned with a deterministic slice of itself so duplicate
+    doc_ids exist (sf data has none), exercising the engine's
+    partial-agg uniqueness pass (engine._unique_violations — the scaled
+    reinterpretation of the reference's set-uniqueness sort,
+    index.js:294-299)."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.unionByName(docs.where(F.col("doc_id") % 97 == 3))
+    eng = ValidationEngine({
+        "@root": "#Doc",
+        "Doc": {"doc_id": "0.."},
+        "@table": {"key": "doc_id", "partition_by": "source",
+                   "unique": ["doc_id"]},
+    })
+    res = eng.run(seeded, persist_violations=False)
+    return res.violations.where(F.col("check_id") == "doc_id_unique") \
+        .select("key", "partition", "check_id")
+
+
+ORACLE_UNIQUE = """
+WITH seeded AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id, source FROM documents WHERE doc_id % 97 = 3)
+SELECT CAST(doc_id AS VARCHAR) AS key, MIN(source) AS partition,
+       'doc_id_unique' AS check_id
+FROM seeded GROUP BY doc_id HAVING COUNT(*) > 1
+"""
+
+
+def _oracle_all_features() -> str:
+    from sjot_spark.allfeatures import oracle_all_features
+
+    return oracle_all_features()
+
+
+QUERIES.update({
+    "validate_all_features": q_validate_all_features,
+    "unique_violations": q_unique_violations,
+})
+ORACLES.update({
+    "validate_all_features": _oracle_all_features(),
+    "unique_violations": ORACLE_UNIQUE,
+})

@@ -222,6 +222,31 @@ def test_ann_ivf_recovers_bruteforce_top1(spark):
     }
     assert approx[(0, 1)] == exact[(0, 1)]
     assert approx[(1, 1)] == exact[(1, 1)]
+    # full recall@3: with nprobe=3 of 6 tight clusters, every true
+    # neighbor sits in a probed cell
+    exact_sets = {q: {v for (qq, _), v in exact.items() if qq == q}
+                  for q in (0, 1)}
+    approx_sets = {q: {v for (qq, _), v in approx.items() if qq == q}
+                   for q in (0, 1)}
+    assert exact_sets == approx_sets
+
+
+def test_build_ivf_fits_on_bounded_sample(spark):
+    """The KMeans fit must see at most ~max_fit_rows rows while the
+    assignment still covers the full corpus (SCALING.md: 100 TB gets
+    one assignment pass, never 20 Lloyd passes)."""
+    import numpy as np
+
+    from sjot_spark.datapipe.ivf import build_ivf
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.rand(4)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    assigned, centroids = build_ivf(
+        df, "vec_id", "embedding", nlist=4, max_fit_rows=50)
+    assert assigned.count() == 400          # full corpus assigned
+    assert len(centroids) == 4
+    assert assigned.select("cell").distinct().count() <= 4
 
 
 def test_fingerprint_window_and_array_formulations_agree(spark, docs):

@@ -89,6 +89,29 @@ def test_filters_and_projection_reach_the_scan(spark, tmp_path):
                               "l_extendedprice"}, read_cols
 
 
+def test_checkpointed_slice_is_partition_pruned(spark, tmp_path):
+    """The per-partition slice of a checkpointed run
+    (manifest.run_checkpointed: df.where(part == v)) must reach the
+    scan as a PartitionFilter when the source layout is partitioned by
+    the partition column — otherwise every slice is a full re-scan and
+    a P-partition run reads the table P times (SCALING.md)."""
+    src = str(tmp_path / "part_src")
+    make_sequences(spark, 400, violations=False).write \
+        .partitionBy("source").mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    some_source = df.select("source").first()[0]
+    plan = (df.where(F.col("source") == some_source)
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, f"no PartitionFilters in slice plan:\n{plan}"
+    filters = pf[1].split("]")[0]
+    assert "source" in filters, filters
+    # and the data filter must NOT degrade to a post-scan Filter node
+    # over the partition column
+    assert f"PushedFilters: []" in plan or "source" not in \
+        plan.split("PushedFilters: [", 1)[1].split("]")[0]
+
+
 def test_bucketed_table_makes_uniqueness_shuffle_free(spark, tmp_path):
     """SCALING.md claim: on a table bucketed by the key, the exact-
     uniqueness aggregation (the system's ONLY full-width shuffle)
