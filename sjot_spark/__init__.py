@@ -14,9 +14,10 @@ JS interpreter; here the schema compiles once on the driver and every
 check for every row evaluates inside whole-stage codegen.
 """
 
+from sjot_spark.spec.registry import SpecRegistry
 from sjot_spark.spec.spec import CheckSpec
 
-__all__ = ["CheckSpec", "ValidationEngine", "ValidationResult"]
+__all__ = ["CheckSpec", "SpecRegistry", "ValidationEngine", "ValidationResult"]
 __version__ = "0.1.0"
 
 

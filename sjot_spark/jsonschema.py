@@ -2,8 +2,17 @@
 (/root/reference/dev/sjot2js.js:41-629, dev/js2sjot.js:55-824),
 covering the subset of both languages our engine uses.
 
-- ``to_json_schema(spec)``: CheckSpec -> JSON Schema (draft-07 style)
-- ``from_json_schema(doc)``: JSON Schema -> CheckSpec
+- ``to_json_schema(spec, version)``: CheckSpec -> JSON Schema.
+  ``version`` mirrors the reference's version argument
+  (sjot2js.js:41, 165-170): 1 (plain ``schema#``), 3 (draft-03:
+  per-property ``required: true``, boolean exclusive bounds,
+  ``dependencies``, no propset combinators), 4 (draft-04: required
+  lists, boolean exclusive bounds, ``items`` tuple arrays,
+  oneOf/anyOf combinators), and 7 (draft-07, the default: numeric
+  exclusive bounds, ``prefixItems``, ``dependentRequired``).
+- ``from_json_schema(doc)``: JSON Schema -> CheckSpec; accepts any of
+  the emitted variants (js2sjot handles v3 and v4 inputs,
+  js2sjot.js:55-72).
 
 Pure Python, driver-side utilities.
 """
@@ -36,12 +45,46 @@ _PRIM_TO_JS = {
     "char": {"type": "string", "minLength": 1, "maxLength": 1},
 }
 
+_SCHEMA_URI = {
+    1: "http://json-schema.org/schema#",
+    3: "http://json-schema.org/draft-03/schema#",
+    4: "http://json-schema.org/draft-04/schema#",
+    7: "http://json-schema.org/draft-07/schema#",
+}
+
 
 def _num(v: float):
     return int(v) if float(v).is_integer() else v
 
 
-def _node_to_js(t: TypeNode) -> dict:
+def _const(v, version: int) -> dict:
+    # const is draft-06+; older drafts spell it enum:[v]
+    return {"const": v} if version >= 7 else {"enum": [v]}
+
+
+def _interval_to_js(it, integral: bool, version: int) -> dict:
+    d: dict = {"type": "integer" if integral else "number"}
+    if version >= 7:
+        if it.lo is not None:
+            d["exclusiveMinimum" if it.xlo else "minimum"] = _num(it.lo)
+        if it.hi is not None:
+            d["exclusiveMaximum" if it.xhi else "maximum"] = _num(it.hi)
+    else:
+        # draft-03/04: exclusive bounds are BOOLEANS modifying
+        # minimum/maximum (sjot2js emits this shape)
+        if it.lo is not None:
+            d["minimum"] = _num(it.lo)
+            if it.xlo:
+                d["exclusiveMinimum"] = True
+        if it.hi is not None:
+            d["maximum"] = _num(it.hi)
+            if it.xhi:
+                d["exclusiveMaximum"] = True
+    return d
+
+
+def _node_to_js(t: TypeNode, version: int = 7) -> dict:
+    v = version
     if isinstance(t, Ref):
         return {"$ref": f"#/definitions/{t.name.lstrip('#')}"}
     if isinstance(t, SizedInt):
@@ -53,14 +96,9 @@ def _node_to_js(t: TypeNode) -> dict:
         for it in t.spec.items:
             integral = not it.all_float
             if it.lo is not None and it.lo == it.hi:
-                alts.append({"const": _num(it.lo)})
+                alts.append(_const(_num(it.lo), v))
                 continue
-            d: dict = {"type": "integer" if integral else "number"}
-            if it.lo is not None:
-                d["exclusiveMinimum" if it.xlo else "minimum"] = _num(it.lo)
-            if it.hi is not None:
-                d["exclusiveMaximum" if it.xhi else "maximum"] = _num(it.hi)
-            alts.append(d)
+            alts.append(_interval_to_js(it, integral, v))
         return alts[0] if len(alts) == 1 else {"anyOf": alts}
     if isinstance(t, Regex):
         return {"type": "string", "pattern": t.anchored}
@@ -79,9 +117,13 @@ def _node_to_js(t: TypeNode) -> dict:
             if fmt:
                 d["format"] = fmt
             return d
-        return dict(_PRIM_TO_JS[t.name])
+        d = dict(_PRIM_TO_JS[t.name])
+        if "const" in d and v < 7:
+            d = {"type": d["type"], **_const(d.pop("const"), v),
+                 }
+        return d
     if isinstance(t, ArrayOf):
-        d: dict = {"type": "array", "items": _node_to_js(t.item)}
+        d: dict = {"type": "array", "items": _node_to_js(t.item, v)}
         if t.bounds.exact:
             d["minItems"] = d["maxItems"] = t.bounds.lo
         else:
@@ -93,25 +135,33 @@ def _node_to_js(t: TypeNode) -> dict:
             d["uniqueItems"] = True
         return d
     if isinstance(t, Tuple):
-        return {
-            "type": "array",
-            "prefixItems": [_node_to_js(x) for x in t.items],
-            "minItems": len(t.items), "maxItems": len(t.items),
-        }
+        slots = [_node_to_js(x, v) for x in t.items]
+        d = {"type": "array",
+             "minItems": len(t.items), "maxItems": len(t.items)}
+        if v >= 7:
+            d["prefixItems"] = slots
+        else:
+            d["items"] = slots  # draft-03/04 positional form
+        return d
     if isinstance(t, UnionT):
-        return {"anyOf": [_node_to_js(m) for m in t.members]}
+        return {"anyOf": [_node_to_js(m, v) for m in t.members]}
     if isinstance(t, ObjectT):
         props, required, patterns = {}, [], {}
         for p in t.props:
-            js = _node_to_js(p.type)
+            js = _node_to_js(p.type, v)
             if p.has_default:
                 js = {**js, "default": p.default}
             if p.is_regex:
                 patterns[f"^{p.name}$"] = js
             else:
-                props[p.name] = js
                 if not p.optional:
-                    required.append(p.name)
+                    if v >= 4:
+                        required.append(p.name)
+                    else:
+                        # draft-03: required is a per-property boolean
+                        # (sjot2js.js:262-265)
+                        js = {**js, "required": True}
+                props[p.name] = js
         d: dict = {"type": "object", "properties": props}
         if patterns:
             d["patternProperties"] = patterns
@@ -120,31 +170,39 @@ def _node_to_js(t: TypeNode) -> dict:
         if t.final:
             d["additionalProperties"] = False
         all_of = []
-        for s in t.one:
-            all_of.append({"oneOf": [{"required": [p]} for p in s]})
-        for s in t.any:
-            all_of.append({"anyOf": [{"required": [p]} for p in s]})
-        for s in t.all:
-            all_of.append({"anyOf": [
-                {"required": list(s)},
-                {"not": {"anyOf": [{"required": [p]} for p in s]}},
-            ]})
+        if v >= 4:
+            # propset combinators need oneOf/anyOf/not: draft-04+
+            # (the reference emits them only for version >= 4,
+            # sjot2js.js:339-383)
+            for s in t.one:
+                all_of.append({"oneOf": [{"required": [p]} for p in s]})
+            for s in t.any:
+                all_of.append({"anyOf": [{"required": [p]} for p in s]})
+            for s in t.all:
+                all_of.append({"anyOf": [
+                    {"required": list(s)},
+                    {"not": {"anyOf": [{"required": [p]} for p in s]}},
+                ]})
         if t.dep:
-            d["dependentRequired"] = {p: list(deps) for p, deps in t.dep}
+            key = "dependentRequired" if v >= 7 else "dependencies"
+            d[key] = {p: list(deps) for p, deps in t.dep}
         if all_of:
             d["allOf"] = all_of
         return d
     raise SpecError(f"cannot convert {t} to JSON Schema")
 
 
-def to_json_schema(spec: CheckSpec) -> dict:
+def to_json_schema(spec: CheckSpec, version: int = 7) -> dict:
     """CheckSpec -> JSON Schema document (root + definitions)."""
+    if version not in _SCHEMA_URI:
+        raise SpecError(f"unsupported JSON Schema version {version}; "
+                        f"use one of {sorted(_SCHEMA_URI)}")
     defs = {
-        name: _node_to_js(t)
+        name: _node_to_js(t, version)
         for name, t in spec.named.items() if name != spec.root_name
     }
-    out = {"$schema": "http://json-schema.org/draft-07/schema#"}
-    out.update(_node_to_js(spec.root))
+    out = {"$schema": _SCHEMA_URI[version]}
+    out.update(_node_to_js(spec.root, version))
     if defs:
         out["definitions"] = defs
     return out
@@ -154,6 +212,15 @@ def to_json_schema(spec: CheckSpec) -> dict:
 
 _JS_FORMATS = {"date": "date", "time": "time", "date-time": "datetime",
                "uuid": "uuid", "duration": "duration"}
+
+
+def _bound(js: dict, key: str, xkey: str):
+    """(value, exclusive) for draft-07 numeric exclusive bounds AND
+    draft-03/04 boolean exclusive bounds."""
+    x = js.get(xkey)
+    if isinstance(x, (int, float)) and not isinstance(x, bool):
+        return x, True
+    return js.get(key), bool(x) and key in js
 
 
 def _js_to_type(js: dict):
@@ -169,7 +236,10 @@ def _js_to_type(js: dict):
         if all(isinstance(m, str) and RANGE_STRING_RE.match(m) for m in members):
             return ",".join(members)
         return [members]
-    if "enum" in js and all(isinstance(v, (int, float)) for v in js["enum"]):
+    if "enum" in js and all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in js["enum"]
+    ) and js["enum"]:
         return ",".join(str(_num(v)) for v in js["enum"])
     if "const" in js and isinstance(js["const"], (int, float)) \
             and not isinstance(js["const"], bool):
@@ -180,10 +250,8 @@ def _js_to_type(js: dict):
     if t == "integer" or (t == "number" and (
             "minimum" in js or "maximum" in js
             or "exclusiveMinimum" in js or "exclusiveMaximum" in js)):
-        lo = js.get("minimum", js.get("exclusiveMinimum"))
-        hi = js.get("maximum", js.get("exclusiveMaximum"))
-        xlo = "exclusiveMinimum" in js
-        xhi = "exclusiveMaximum" in js
+        lo, xlo = _bound(js, "minimum", "exclusiveMinimum")
+        hi, xhi = _bound(js, "maximum", "exclusiveMaximum")
 
         def fmt(v):
             if v is None:
@@ -212,16 +280,19 @@ def _js_to_type(js: dict):
             return f"char[{lo},{hi}]"
         return "string"
     if t == "boolean":
-        if js.get("const") is True:
+        if js.get("const") is True or js.get("enum") == [True]:
             return "true"
-        if js.get("const") is False:
+        if js.get("const") is False or js.get("enum") == [False]:
             return "false"
         return "boolean"
     if t == "null":
         return "null"
     if t == "array":
-        if "prefixItems" in js:
-            return [_js_to_type(x) for x in js["prefixItems"]]
+        slots = js.get("prefixItems")
+        if slots is None and isinstance(js.get("items"), list):
+            slots = js["items"]  # draft-03/04 positional tuple form
+        if slots is not None:
+            return [_js_to_type(x) for x in slots]
         item = _js_to_type(js["items"]) if "items" in js else "any"
         lo, hi = js.get("minItems"), js.get("maxItems")
         suffix = "{" if js.get("uniqueItems") else "["
@@ -237,9 +308,12 @@ def _js_to_type(js: dict):
         return f"{item}{suffix}{'' if lo is None else lo},{'' if hi is None else hi}{close}"
     if t == "object":
         out: dict = {}
-        required = set(js.get("required", []))
+        required = set(js.get("required", [])) \
+            if isinstance(js.get("required"), list) else set()
         for name, sub in js.get("properties", {}).items():
-            key = name if name in required else (
+            req = name in required or sub.get("required") is True
+            sub = {k: v for k, v in sub.items() if k != "required"}
+            key = name if req else (
                 f"{name}?{json.dumps(sub['default'])}".replace('"', "")
                 if "default" in sub else f"{name}?")
             out[key] = _js_to_type(sub)
@@ -248,15 +322,18 @@ def _js_to_type(js: dict):
             out[p if p.startswith("(") else f"({p})"] = _js_to_type(sub)
         if js.get("additionalProperties") is False:
             out["@final"] = True
-        if "dependentRequired" in js:
-            out["@dep"] = {k: list(v) for k, v in js["dependentRequired"].items()}
+        deps = js.get("dependentRequired", js.get("dependencies"))
+        if isinstance(deps, dict):
+            out["@dep"] = {
+                k: list(v) for k, v in deps.items() if isinstance(v, list)
+            }
         return out
     return "any"
 
 
 def from_json_schema(doc: dict | str, root_name: str = "Root") -> CheckSpec:
     """JSON Schema -> CheckSpec (subset: the constructs to_json_schema
-    emits round-trip)."""
+    emits round-trip, in every emitted version variant)."""
     if isinstance(doc, str):
         doc = json.loads(doc)
     spec_doc: dict = {"@root": f"#{root_name}",

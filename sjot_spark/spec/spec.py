@@ -114,12 +114,15 @@ def _flatten_extends(name: str, raw: dict, named_raw: dict, seen=()) -> dict:
 class CheckSpec:
     """A parsed, checkable, compilable constraint specification."""
 
-    def __init__(self, doc: dict | str):
+    def __init__(self, doc: dict | str, registry=None):
         if isinstance(doc, str):
             doc = json.loads(doc)  # E4: schema parse (index.js:32-33)
         if not isinstance(doc, dict):
             raise SpecError("spec must be a JSON object")
         self.doc = doc
+        # schema-set membership: URI#name references route through the
+        # registry (sjot_spark.spec.registry; index.js:1102-1191)
+        self._registry = registry
         named_raw = {
             k: v for k, v in doc.items() if not k.startswith("@")
         }
@@ -169,10 +172,18 @@ class CheckSpec:
         return self._root_name
 
     def resolve(self, ref: str) -> TypeNode:
-        """#name → named type (sjot_reftype, index.js:1102-1163).
-        Remote URI#name loading is not supported — specs are local
-        documents or catalog tables, never synchronous HTTP."""
-        name = ref.lstrip("#")
+        """#name → named type; URI#name → cross-schema type through the
+        owning SpecRegistry (sjot_reftype, index.js:1102-1163). Remote
+        URIs load via the registry's loader callback (catalog or any
+        Hadoop filesystem — the sjot_load analog, index.js:1166-1191 —
+        never synchronous HTTP)."""
+        if not ref.startswith("#"):  # URI#name / URI#
+            if self._registry is None:
+                raise SpecError(
+                    f"cross-schema reference {ref!r} needs a SpecRegistry "
+                    "(construct the spec via SpecRegistry.add)")
+            return self._registry.resolve(ref)
+        name = ref[1:]
         if name == "":  # "#" = root self-reference
             return self.root
         if name not in self.named:

@@ -55,3 +55,30 @@ def test_inferred_spec_flags_out_of_domain_rows(spark):
     assert {r.check_id for r in res.violations.collect()} >= {"n_tok_range",
                                                               "n_tok_consistency"} \
         or {r.check_id for r in res.violations.collect()} >= {"n_tok_range"}
+
+
+def test_infer_struct_columns_recursively(spark):
+    """snapSJOT-style recursive object unification: struct columns
+    infer nested object types, with within-struct optionality from
+    nulls observed while the parent struct is present."""
+    rows = [
+        ("a", (1, "x", None)),
+        ("b", (5, "y", 7)),
+        ("c", None),            # struct itself nullable
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, o struct<n:int, s:string, extra:int>")
+    spec = infer_spec(df, type_name="T")
+    props = {p.name: p for p in spec.root.props}
+    assert props["o"].optional                 # struct null in one row
+    from sjot_spark.spec.typestr import ObjectT, Range
+    obj = props["o"].type
+    assert isinstance(obj, ObjectT)
+    sub = {p.name: p for p in obj.props}
+    assert isinstance(sub["n"].type, Range)
+    assert sub["n"].type.spec.source == "1..5"
+    assert not sub["n"].optional               # never null when o present
+    assert sub["extra"].optional               # null while o present
+    # self-acceptance invariant holds through the nested object
+    res = ValidationEngine(spec).run(df, persist_violations=False)
+    assert res.violations.count() == 0

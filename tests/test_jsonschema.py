@@ -92,3 +92,60 @@ def test_enum_round_trip():
     back = from_json_schema(js, root_name="T")
     x = {p.name: p for p in back.root.props}["x"].type
     assert x.spec.match_py(-999) and not x.spec.match_py(2)
+
+
+# --------------------------- version variants (sjot2js.js:41, 165-170)
+
+def test_version_schema_uris_and_required_placement():
+    spec = CheckSpec(FULL)
+    v1 = to_json_schema(spec, version=1)
+    v3 = to_json_schema(spec, version=3)
+    v4 = to_json_schema(spec, version=4)
+    assert v1["$schema"] == "http://json-schema.org/schema#"
+    assert v3["$schema"] == "http://json-schema.org/draft-03/schema#"
+    assert v4["$schema"] == "http://json-schema.org/draft-04/schema#"
+    # draft-03: per-property required flag, no required list, no allOf
+    assert "required" not in v3
+    assert v3["properties"]["id"]["required"] is True
+    assert "required" not in v3["properties"]["s"]
+    assert "allOf" not in v3
+    assert v3["dependencies"] == {"s": ["c"]}
+    # draft-04: required list + combinators, dependencies spelling
+    assert set(v4["required"]) == {"id", "n", "toks"}
+    assert {"oneOf": [{"required": ["a"]}, {"required": ["b"]}]} in v4["allOf"]
+    assert v4["dependencies"] == {"s": ["c"]}
+    with pytest.raises(Exception):
+        to_json_schema(spec, version=5)
+
+
+@pytest.mark.parametrize("version", [1, 3, 4, 7])
+def test_every_version_round_trips_semantics(version):
+    doc = {
+        "@root": "#T",
+        "T": {
+            "id": "(doc\\d+)",
+            "x?": "<0..100>",
+            "f?": "true",
+            "tup?": ["0..9", "10..19"],
+            "s?": "string",
+            "c?": "char[2,4]",
+            "@dep": {"s": ["c"]},
+        },
+    }
+    spec = CheckSpec(doc)
+    spec.check()
+    js = to_json_schema(spec, version=version)
+    back = from_json_schema(js, root_name="T")
+    back.check()
+    props = {p.name: p for p in back.root.props}
+    assert not props["id"].optional and props["x"].optional
+    x = props["x"].type
+    assert isinstance(x, Range)
+    assert not x.spec.match_py(0) and not x.spec.match_py(100) \
+        and x.spec.match_py(50)
+    from sjot_spark.spec.typestr import Primitive, Tuple as TupleT
+    assert isinstance(props["f"].type, Primitive) \
+        and props["f"].type.name == "true"
+    assert isinstance(props["tup"].type, TupleT) \
+        and len(props["tup"].type.items) == 2
+    assert back.root.dep == (("s", ("c",)),)
