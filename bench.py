@@ -169,6 +169,87 @@ def run_scaling() -> dict:
     }
 
 
+PAIR_COUNT = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+
+
+def run_paired() -> dict:
+    """Paired scaling methodology: alternate local[N] / local[4N]
+    single-trial runs (fresh JVM each) so both configs sample the SAME
+    host-load epochs — the shared-host-safe version of --scaling.
+    Efficiency = min(T_N) / (4 * min(T_4N)) over all pairs."""
+    t_n, t_4n, p_n, p_4n, s_n, s_4n = [], [], [], [], [], []
+    for _ in range(PAIR_COUNT):
+        for cpus, acc, pacc, sacc in ((SCALE_N, t_n, p_n, s_n),
+                                      (4 * SCALE_N, t_4n, p_4n, s_4n)):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_GRAFT_BENCH_ROWS=str(BENCH_ROWS),
+                       SPARK_GRAFT_SCALE_TRIALS="1")
+            r = subprocess.run(
+                [sys.executable, __file__, "--single-validate"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            d = json.loads(r.stdout.strip().splitlines()[-1])
+            acc.append(d["sec"])
+            pacc.append(d["probe_sec"])
+            sacc.append(d["scan_sec"])
+    eff = round(min(t_n) / (4 * min(t_4n)), 3)
+    probe_eff = round(min(p_n) / (4 * min(p_4n)), 3)
+    scan_eff = round(min(s_n) / (4 * min(s_4n)), 3)
+    return {
+        "metric": f"PAIRED scaling efficiency local[{SCALE_N}] -> "
+                  f"local[{4*SCALE_N}] ({PAIR_COUNT} alternating pairs)",
+        "value": eff, "unit": "efficiency",
+        "t_n_trials": t_n, "t_4n_trials": t_4n,
+        "t_n_sec": min(t_n), "t_4n_sec": min(t_4n),
+        "per_pair_efficiency": [
+            round(a / (4 * b), 3) for a, b in zip(t_n, t_4n)
+        ],
+        # two ceilings measured in the SAME JVMs/epoch:
+        # - cpu_probe: pure-ALU codegen (no IO) — what compute scales at
+        # - scan_probe: bare read of the same input (no checks) — what
+        #   anything that must scan this data scales at on this host
+        "cpu_probe_efficiency": probe_eff,
+        "scan_probe_efficiency": scan_eff,
+        "cpu_probe_trials": {"n": p_n, "4n": p_4n},
+        "scan_probe_trials": {"n": s_n, "4n": s_4n},
+        # engine efficiency as a fraction of the scan ceiling: ~1.0
+        # means validation adds NO scaling penalty beyond reading input
+        "vs_scan_efficiency": round(eff / scan_eff, 3) if scan_eff else None,
+        "rows": BENCH_ROWS, "n": SCALE_N,
+    }
+
+
+PROBE_ROWS = int(os.environ.get("SPARK_GRAFT_PROBE_ROWS", "2000000000"))
+
+
+def _probe_cpu(spark) -> float:
+    """Pure-CPU hardware-ceiling probe: sum(xxhash64) over a range —
+    whole-stage codegen, no IO, no shuffle beyond the final merge. Its
+    N->4N efficiency is the best ANY computation can achieve on this
+    host in this epoch; the engine's efficiency is reported normalized
+    against it (a shared-host cannot distinguish engine serialization
+    from neighbor-induced bandwidth loss, the probe can)."""
+    t0 = time.perf_counter()
+    # bit_xor: overflow-free under ANSI mode (sum(xxhash64) throws)
+    spark.range(0, PROBE_ROWS, 1, CPUS * 4).selectExpr(
+        "bit_xor(xxhash64(id))").collect()
+    return time.perf_counter() - t0
+
+
+def _probe_scan(spark) -> float:
+    """Scan-probe: a BARE read of the same cached parquet input with a
+    trivial aggregate — no checks, no engine. Its N->4N efficiency is
+    the ceiling for anything that must read this input on this host
+    (parquet decode is memory-bandwidth-bound; the ALU probe above
+    scales ~0.9 while this scan scales like the engine). The engine's
+    efficiency normalized by THIS probe isolates what validation adds
+    on top of the unavoidable scan."""
+    df = spark.read.parquet(SEQ_CACHE)
+    t0 = time.perf_counter()
+    df.selectExpr("sum(size(tokens))", "bit_xor(xxhash64(doc_id))").collect()
+    return time.perf_counter() - t0
+
+
 def run_single_validate() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sjot_spark.session import get_spark
@@ -180,12 +261,17 @@ def run_single_validate() -> dict:
         spark.catalog.clearCache()
         t, extra = bench_seq_validate(spark)
         best = t if best is None else min(best, t)
-    return {"sec": round(best, 3), "rows": extra["rows"], "cpus": CPUS}
+    probe = min(_probe_cpu(spark) for _ in range(2))
+    scan = min(_probe_scan(spark) for _ in range(2))
+    return {"sec": round(best, 3), "rows": extra["rows"], "cpus": CPUS,
+            "probe_sec": round(probe, 3), "scan_sec": round(scan, 3)}
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--paired" in sys.argv:
+        print(json.dumps(run_paired()))
     elif "--single-validate" in sys.argv:
         print(json.dumps(run_single_validate()))
     else:

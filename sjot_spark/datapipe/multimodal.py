@@ -1,11 +1,14 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns
+with typed metadata.
 
-The decode/feature kernels are STUBS behind import guards (no
-image/audio libraries in this environment) with a deterministic fake
-used by tests — but the Spark-side plumbing is real: schemas, Arrow
-batch shapes, mapInPandas signatures, partition sizing. Swapping the
-fake for PIL/torchaudio is a one-function change per kernel.
+Decode is REAL for the library-free formats — PPM/PGM images and
+RIFF/WAV PCM audio parse with pure numpy (decode_image /
+decode_audio), and image resize + per-channel feature extraction run
+vectorized on the decoded arrays. Compressed formats (JPEG/PNG/MP3/
+MP4) stay behind an import guard (PIL/torchaudio are not in this
+environment); swapping them in is a one-function change per kernel
+because everything around the kernel — schemas, Arrow batch shapes,
+mapInPandas signatures, row-multiplication — is format-agnostic.
 
 Batch-shape contract: mapInPandas receives pandas DataFrames whose
 binary column is a Series of bytes objects; kernels must return one
@@ -38,13 +41,132 @@ except ImportError:
     HAVE_PIL = False
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode requires PIL; unavailable here by design."""
+def _ppm_header(payload: bytes):
+    """Parse a binary PPM/PGM (P6/P5) header; returns
+    (channels, width, height, maxval, data_offset)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    return channels, fields[0], fields[1], fields[2], pos + 1
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, c) uint8 array. PPM (P6)
+    and PGM (P5) decode with pure numpy — no libraries; other formats
+    need PIL (absent in this environment by design)."""
+    hdr = _ppm_header(payload) if len(payload) >= 2 else None
+    if hdr is not None:
+        c, w, h, maxval, off = hdr
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8,
+                            count=w * h * c, offset=off)
+        return arr.reshape(h, w, c)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; use fake_feature for plumbing tests"
-        )
-    raise NotImplementedError  # pragma: no cover
+            "compressed image decode requires PIL; PPM/PGM decode "
+            "natively, or use fake_feature for plumbing tests")
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w, 1)/(h, w) uint8 -> binary PPM/PGM bytes
+    (deterministic test-fixture encoder, the decode round-trip twin)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAV PCM16 with pure numpy: returns
+    (float32 samples in [-1, 1] shaped (n, channels), sample_rate).
+    Compressed audio would need a library (absent by design)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAV PCM decodes natively")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise NotImplementedError("WAV data before fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = fmt
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV decodes natively")
+            samples = np.frombuffer(body, dtype="<i2").astype(np.float32)
+            return samples.reshape(-1, channels) / 32768.0, rate
+        pos += 8 + size + (size & 1)
+    raise NotImplementedError("WAV has no data chunk")
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) float32 [-1,1] -> PCM16 WAV bytes."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.round(np.clip(samples * 32767.0, -32768, 32767)) \
+        .astype("<i2").tobytes()
+    ch = samples.shape[1]
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+        16, 1, ch, rate, rate * ch * 2, ch * 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+def resize_image(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize with pure numpy fancy indexing."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def image_feature(payload: bytes, thumb: int = 2) -> np.ndarray:
+    """Decoded-image feature: per-channel mean/std + a thumb x thumb
+    grayscale thumbnail — 2*c + thumb^2 float32s, all vectorized."""
+    img = decode_image(payload).astype(np.float32)
+    means = img.mean(axis=(0, 1)) / 255.0
+    stds = img.std(axis=(0, 1)) / 255.0
+    gray = img.mean(axis=2)
+    tiny = resize_image(gray, thumb, thumb).reshape(-1) / 255.0
+    return np.concatenate([means, stds, tiny]).astype(np.float32)
+
+
+def audio_feature(payload: bytes, n_windows: int = 4) -> np.ndarray:
+    """Decoded-audio feature: RMS energy over n equal windows + global
+    peak — (n_windows + 1) float32s."""
+    samples, _ = decode_audio(payload)
+    mono = samples.mean(axis=1)
+    k = max(len(mono) // n_windows, 1)
+    rms = [float(np.sqrt(np.mean(mono[i * k:(i + 1) * k] ** 2)))
+           if len(mono[i * k:(i + 1) * k]) else 0.0
+           for i in range(n_windows)]
+    return np.array(rms + [float(np.abs(mono).max() if len(mono) else 0.0)],
+                    dtype=np.float32)
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:

@@ -1167,9 +1167,50 @@ def _oracle_all_features() -> str:
     return oracle_all_features()
 
 
+# ------------------------------------------------------------ set ops
+
+def q_set_except(spark, sf_dir):
+    """EXCEPT (dim diff): customers that placed no orders — the
+    set-operation surface of SURVEY §2.7 (Spark subtract = EXCEPT
+    DISTINCT, one hash-partitioned anti-style exchange)."""
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return cu.subtract(o)
+
+
+ORACLE_SET_EXCEPT = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT: part keys that appear in both the part dim and the
+    lineitem facts."""
+    pa = load(spark, sf_dir, "part").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"))
+    return pa.intersect(li)
+
+
+ORACLE_SET_INTERSECT = """
+SELECT p_partkey FROM part
+INTERSECT
+SELECT l_partkey FROM lineitem
+"""
+
+
 QUERIES.update({
     "validate_all_features": q_validate_all_features,
     "unique_violations": q_unique_violations,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+})
+ORACLES.update({
+    "set_except": ORACLE_SET_EXCEPT,
+    "set_intersect": ORACLE_SET_INTERSECT,
 })
 ORACLES.update({
     "validate_all_features": _oracle_all_features(),

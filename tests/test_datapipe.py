@@ -265,3 +265,71 @@ def test_fingerprint_window_and_array_formulations_agree(spark, docs):
                                            k=3, w=2).collect()
     }
     assert arr == win
+
+
+def test_ppm_image_decode_roundtrip_and_features():
+    import numpy as np
+
+    from sjot_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
+    payload = mm.encode_ppm(img)
+    back = mm.decode_image(payload)
+    assert back.shape == (16, 12, 3)
+    assert np.array_equal(back, img)
+    # grayscale PGM too
+    gray = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(gray))[:, :, 0], gray)
+    # comments in header (valid PPM) must parse
+    commented = b"P6\n# a comment\n12 16\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_image(commented), img)
+    feat = mm.image_feature(payload, thumb=2)
+    assert feat.shape == (3 + 3 + 4,) and feat.dtype == np.float32
+    assert np.all((feat >= 0) & (feat <= 1))
+    small = mm.resize_image(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+
+
+def test_wav_audio_decode_roundtrip_and_features():
+    import numpy as np
+
+    from sjot_spark.datapipe import multimodal as mm
+
+    t = np.arange(1600, dtype=np.float32) / 16000.0
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t),
+                       0.5 * np.sin(2 * np.pi * 220 * t)], axis=1)
+    payload = mm.encode_wav(stereo, rate=16000)
+    samples, rate = mm.decode_audio(payload)
+    assert rate == 16000 and samples.shape == (1600, 2)
+    # PCM16 quantization: half-step rounding + the 32767/32768 scale
+    assert np.allclose(samples, stereo, atol=2.0 / 32768)
+    feat = mm.audio_feature(payload, n_windows=4)
+    assert feat.shape == (5,) and feat.dtype == np.float32
+    assert feat[4] > 0.5  # peak of a 440Hz sine ~ amplitude
+    # non-WAV payloads stay library-gated, not silently wrong
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\x00\x01\x02")
+
+
+def test_real_decode_kernels_through_spark_plumbing(spark):
+    """The decode path end-to-end in mapInPandas: PPM payloads built
+    per-row, image_feature as the kernel — real decode, real Arrow
+    batches, one row per input."""
+    import numpy as np
+
+    from sjot_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(12):
+        img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        rows.append((f"m{i}", "image", bytearray(mm.encode_ppm(img)),
+                     8, 8, 0))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.extract_features(media, kernel=mm.image_feature).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r.feature) == 10
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
