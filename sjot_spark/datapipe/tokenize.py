@@ -30,6 +30,22 @@ def token_ids(text: Column, vocab: int = VOCAB) -> Column:
                   F.array().cast("array<int>")).otherwise(ids)
 
 
+# GPT-2-flavor BPE pre-tokenization pattern, lookahead-free so the
+# SAME pattern behaves identically under Java regex (Spark) and RE2
+# (DuckDB) — both are leftmost-first on alternation. Pieces:
+# contraction suffixes, optionally-space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs (dropped post-hoc).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretokenize(text: Column) -> Column:
+    """BPE-ish pre-token array (the split a byte-pair encoder merges
+    within). Whitespace-run tokens are dropped; leading spaces stay
+    attached to word tokens exactly like GPT-2's pre-tokenizer."""
+    toks = F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+    return F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+
+
 def tokenize_documents(df: DataFrame, vocab: int = VOCAB) -> DataFrame:
     """documents -> input_hint-shaped sequences table
     (doc_id, tokens, n_tok, source)."""

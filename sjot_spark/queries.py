@@ -866,6 +866,60 @@ QUERIES["tokenize_stats"] = q_tokenize_stats
 ORACLES["tokenize_stats"] = ORACLE_TOKENIZE
 
 
+def q_bpe_pretoken_stats(spark, sf_dir):
+    """BPE-ish regex pre-tokenization (datapipe.tokenize.pretokenize):
+    per-source pre-token counts plus an md5-id checksum of the actual
+    token CONTENT, so the oracle verifies the split itself, not just
+    counts."""
+    from sjot_spark.datapipe.tokenize import pretokenize
+
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select("source", pretokenize(F.col("text")).alias("t"))
+    ids = F.transform(
+        F.col("t"),
+        lambda x: F.pmod(
+            F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+            F.lit(50257)),
+    )
+    return (
+        staged.select(
+            "source",
+            F.size("t").alias("n"),
+            F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x)
+            .alias("sid"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n").alias("sum_pretok"),
+             F.sum("sid").alias("sum_ids"),
+             F.max("n").cast("long").alias("max_pretok"))
+    )
+
+
+def _oracle_bpe_pretokens() -> str:
+    from sjot_spark.datapipe.tokenize import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return rf"""
+WITH tok AS (
+  SELECT source,
+         list_filter(regexp_extract_all(text, '{pat}'),
+                     x -> NOT regexp_full_match(x, '\s+')) AS t
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(t))::BIGINT AS sum_pretok,
+       SUM(COALESCE(list_aggregate(list_transform(t,
+            x -> ('0x'||substr(md5(x),1,15))::BIGINT % 50257), 'sum'), 0)
+          )::BIGINT AS sum_ids,
+       MAX(len(t))::BIGINT AS max_pretok
+FROM tok GROUP BY source
+"""
+
+
+QUERIES["bpe_pretoken_stats"] = q_bpe_pretoken_stats
+ORACLES["bpe_pretoken_stats"] = _oracle_bpe_pretokens()
+
+
 def _oracle_minhash() -> str:
     """The full MinHash+LSH pipeline in SQL: the md5-based hash family
     and linear permutations are engine-independent by construction, so

@@ -333,3 +333,18 @@ def test_real_decode_kernels_through_spark_plumbing(spark):
     for r in out:
         assert len(r.feature) == 10
         assert all(0.0 <= v <= 1.0 for v in r.feature)
+
+
+def test_bpe_pretokenize_shapes(spark):
+    from sjot_spark.datapipe.tokenize import pretokenize
+
+    df = spark.createDataFrame(
+        [("it's rain-ing 42 times!!",), ("",), ("  spaced  out  ",)],
+        "text string")
+    rows = df.select(pretokenize(F.col("text")).alias("t")).collect()
+    assert rows[0].t == ["it", "'s", " rain", "-", "ing", " 42",
+                         " times", "!!"]
+    assert rows[1].t == []
+    # multi-space runs are eaten by \s+ (leftmost-first), so words
+    # after them carry no space prefix — same as the GPT-2 splitter
+    assert rows[2].t == ["spaced", "out"]
