@@ -138,7 +138,8 @@ def range_pred(rs: RangeSpec, c: Column, col_is_float: bool) -> Column:
     return F.when(isfloat, float_match).otherwise(int_match)
 
 
-def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | None:
+def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve,
+                nonnull_elems: bool = False) -> Column | None:
     """Runtime pass-predicate for a scalar node over column c of Spark
     type dt; None = statically always-true (schema already guarantees
     it — the Catalyst analog of SJOT's typeof switch arms that return
@@ -227,13 +228,13 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
                 for ifprop, then in node.if_then:
                     if ifprop not in fields:
                         continue
-                    then_p = scalar_pred(then, c, dt, resolve)
+                    then_p = scalar_pred(then, c, dt, resolve, nonnull_elems)
                     discriminated.append((
                         c.getField(ifprop).isNotNull(),
                         F.lit(True) if then_p is None else then_p))
                 continue
             try:
-                p = scalar_pred(m, c, dt, resolve)
+                p = scalar_pred(m, c, dt, resolve, nonnull_elems)
             except SpecError:
                 continue
             preds.append(F.lit(True) if p is None else p)
@@ -258,17 +259,20 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
             preds.append(bp)
         if t.is_set:
             preds.append(F.size(F.array_distinct(c)) == F.size(c))
+        item_node = t.item
+        while isinstance(item_node, Ref):
+            item_node = resolve(item_node.name)
+        contains_null = dt.containsNull and not nonnull_elems
         if scalar_pred(t.item, F.lit(0), dt.elementType, resolve) is not None \
-                or isinstance(t.item, (ArrayOf, Tuple, ObjectT)):
-            item_node = t.item
-            while isinstance(item_node, Ref):
-                item_node = resolve(item_node.name)
-            fast = _interval_elem_pred(item_node, c, dt.elementType)
+                or isinstance(item_node, (ArrayOf, Tuple, ObjectT)) \
+                or (contains_null and not _elem_admits_null(item_node)):
+            fast = _interval_elem_pred(item_node, c, dt.elementType,
+                                       contains_null)
             if fast is not None:
                 preds.append(fast)
             else:
                 def ep(x: Column) -> Column:
-                    p = scalar_pred(t.item, x, dt.elementType, resolve)
+                    p = scalar_pred(t.item, x, dt.elementType, resolve, nonnull_elems)
                     base = x.isNotNull()
                     return base if p is None else base & F.coalesce(p, F.lit(False))
                 preds.append(F.forall(c, ep))
@@ -279,7 +283,7 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
         preds = [F.size(c) == len(t.items)]
         for i, it in enumerate(t.items):
             ec = F.get(c, i)  # null-safe under ANSI mode
-            p = scalar_pred(it, ec, dt.elementType, resolve)
+            p = scalar_pred(it, ec, dt.elementType, resolve, nonnull_elems)
             preds.append(ec.isNotNull() if p is None else F.coalesce(p, F.lit(False)))
         return reduce(and_, preds)
     if isinstance(t, ObjectT):
@@ -306,7 +310,7 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve) -> Column | Non
                     # null-typed field: the value must be null, full stop
                     preds.append(fc.isNull())
                     continue
-                fp = scalar_pred(p.type, fc, fields[nm].dataType, resolve)
+                fp = scalar_pred(p.type, fc, fields[nm].dataType, resolve, nonnull_elems)
                 base = fc.isNotNull() if not p.optional else F.lit(True)
                 if fp is not None:
                     base = base & F.when(fc.isNull(), p.optional).otherwise(fp)
@@ -353,8 +357,17 @@ def bounds_pred(b: Bounds, n: Column) -> Column | None:
     return reduce(and_, conds)
 
 
+def _elem_admits_null(item: TypeNode) -> bool:
+    """'any' array elements admit null (the reference's default value
+    for `any` IS null, index.js:1194-1244, so a null element survives
+    default substitution there); every other item type treats a null
+    element as a violation under the engine's no-mutation stance."""
+    return isinstance(item, Primitive) and item.name == "any"
+
+
 def _interval_elem_pred(
-    item: TypeNode, c: Column, elem_dt: T.DataType
+    item: TypeNode, c: Column, elem_dt: T.DataType,
+    contains_null: bool = True,
 ) -> Column | None:
     """Specialized whole-array element-range check: for a single
     contiguous interval over an integral element type,
@@ -380,14 +393,22 @@ def _interval_elem_pred(
             lo = None
         if hi is not None and not xhi and hi >= dom[1]:
             hi = None
-    no_nulls = F.size(F.array_compact(c)) == F.size(c)
-    conds = [no_nulls]
+    conds = []
+    if contains_null:
+        # the null-element scan is a second full array traversal
+        # (~2x the min/max cost at 2M x 370 tokens; every dynamic
+        # formulation measures the same) — elided when the schema
+        # GUARANTEES non-null elements (containsNull=False, e.g. an
+        # Iceberg `element: required` column), which is the scale path
+        conds.append(F.size(F.array_compact(c)) == F.size(c))
     if lo is not None:
         mn = F.array_min(c)
         conds.append(mn > F.lit(lo) if xlo else mn >= F.lit(lo))
     if hi is not None:
         mx = F.array_max(c)
         conds.append(mx < F.lit(hi) if xhi else mx <= F.lit(hi))
+    if not conds:
+        return F.lit(True)  # everything statically guaranteed
     pred = reduce(and_, conds)
     # empty arrays have no elements to violate (forall over [] is true)
     return F.when(F.size(c) == 0, F.lit(True)).otherwise(pred)
@@ -410,7 +431,8 @@ class CompiledSpec:
     columns: list[str]  # root object columns present in the df
 
 
-def compile_spec(spec: CheckSpec, schema: T.StructType) -> CompiledSpec:
+def compile_spec(spec: CheckSpec, schema: T.StructType,
+                 assume_nonnull_elements: bool = False) -> CompiledSpec:
     """Compile the root object against a DataFrame schema into the full
     row-level check list (P1-P12, A1-A6, C1-C6, @table.consistent).
     Plan-level checks (unique/ref/drift) are driven by the engine."""
@@ -446,7 +468,8 @@ def compile_spec(spec: CheckSpec, schema: T.StructType) -> CompiledSpec:
                 raise SpecError(f"required column {col_name} missing from table")
             checks.extend(
                 _compile_column(col_name, prop, fields[col_name].dataType,
-                                spec.resolve, f"/@root/{tname}/{col_name}")
+                                spec.resolve, f"/@root/{tname}/{col_name}",
+                                assume_nonnull_elements)
             )
 
     # C1-C4 presence combinators over column nullness; an optional
@@ -504,7 +527,8 @@ def compile_spec(spec: CheckSpec, schema: T.StructType) -> CompiledSpec:
 
 
 def _compile_column(
-    name: str, prop: Prop, dt: T.DataType, resolve, typepath: str
+    name: str, prop: Prop, dt: T.DataType, resolve, typepath: str,
+    nonnull_elems: bool = False,
 ) -> list[RowCheck]:
     """All row-level checks for one column."""
     c = F.col(name)
@@ -565,13 +589,21 @@ def _compile_column(
         item_dry = t.item
         while isinstance(item_dry, Ref):
             item_dry = resolve(item_dry.name)
+        contains_null = dt.containsNull and not nonnull_elems
         needs_elem = (
             scalar_pred(t.item, F.lit(0), elem_dt, resolve) is not None
             or isinstance(item_dry, (ArrayOf, Tuple, ObjectT))
+            # statically-conformant items still need the null scan
+            # (null elements violate — no default insertion) — UNLESS
+            # the schema guarantees non-null elements, making the check
+            # free (Iceberg `element: required` is the 100 TB path; see
+            # _interval_elem_pred / engine assume_nonnull_elements),
+            # or the item type admits null
+            or (contains_null and not _elem_admits_null(item_dry))
         )
 
         def elem_pred(x: Column) -> Column:
-            p = scalar_pred(t.item, x, elem_dt, resolve)
+            p = scalar_pred(t.item, x, elem_dt, resolve, nonnull_elems)
             base = x.isNotNull()  # null elements violate (no default insertion)
             return base if p is None else base & F.coalesce(p, F.lit(False))
 
@@ -581,7 +613,8 @@ def _compile_column(
             item_node = t.item
             while isinstance(item_node, Ref):
                 item_node = resolve(item_node.name)
-            fast = _interval_elem_pred(item_node, c, elem_dt)
+            fast = _interval_elem_pred(item_node, c, elem_dt,
+                                       contains_null)
             out.append(RowCheck(
                 f"{name}_{_elem_kind(t.item)}",
                 guarded(fast if fast is not None else F.forall(c, elem_pred)),
@@ -598,14 +631,14 @@ def _compile_column(
         preds = []
         for i, it in enumerate(t.items):
             ec = F.get(c, i)  # null-safe under ANSI mode
-            p = scalar_pred(it, ec, dt.elementType, resolve)
+            p = scalar_pred(it, ec, dt.elementType, resolve, nonnull_elems)
             preds.append(ec.isNotNull() if p is None else F.coalesce(p, F.lit(False)))
         out.append(RowCheck(
             f"{name}_tuple_types", guarded(reduce(and_, preds)),
             _detail(name, c, node_desc(t), typepath), typepath))
         return out
 
-    p = scalar_pred(t, c, dt, resolve)
+    p = scalar_pred(t, c, dt, resolve, nonnull_elems)
     if p is not None:
         kind = (
             "range" if isinstance(t, (Range, SizedInt))

@@ -53,20 +53,32 @@ class ValidationResult:
 class ValidationEngine:
     """Compile once, validate any number of DataFrames of that shape."""
 
-    def __init__(self, spec: CheckSpec | dict | str, detail_level: str = "full"):
+    def __init__(self, spec: CheckSpec | dict | str, detail_level: str = "full",
+                 assume_nonnull_elements: bool = False):
         """``detail_level``: 'full' builds SJOT-shaped diagnostic
         strings for failing rows; 'fast' emits null details — the
         analog of the reference's FAST build variant, which strips the
-        error-detail paths (/root/reference/build.sh:19-26)."""
+        error-detail paths (/root/reference/build.sh:19-26).
+
+        ``assume_nonnull_elements``: treat every array column as if
+        its schema declared non-null elements, eliding the per-element
+        null scan (~20% of validation wall time on the token hot
+        path). Plain parquet ALWAYS reports list elements nullable
+        even when the writer never emits one; Iceberg `element:
+        required` columns carry containsNull=False natively and get
+        the elision automatically without this flag. Only set it when
+        the producer contract genuinely forbids null elements."""
         if detail_level not in ("full", "fast"):
             raise SpecError("detail_level must be 'full' or 'fast'")
         self.detail_level = detail_level
+        self.assume_nonnull_elements = assume_nonnull_elements
         self.spec = spec if isinstance(spec, CheckSpec) else CheckSpec(spec)
         self.spec.check()
         self._compiled: CompiledSpec | None = None
 
     def compile(self, df: DataFrame) -> CompiledSpec:
-        return compile_spec(self.spec, df.schema)
+        return compile_spec(self.spec, df.schema,
+                            self.assume_nonnull_elements)
 
     # ------------------------------------------------------------ run
 

@@ -28,6 +28,16 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.table(ref)
 
 
+# NOTE on array-element nullability: plain parquet ALWAYS reports
+# list elements as nullable on read (Spark force-nullables file-source
+# schemas; a user-supplied read schema cannot narrow it), so the
+# engine's per-element null scan runs even for producers that never
+# emit null tokens. Iceberg `element: required` columns arrive with
+# containsNull=False and the compiler elides the scan automatically;
+# for parquet, opt in explicitly with
+# ValidationEngine(spec, assume_nonnull_elements=True).
+
+
 def snapshot_info(spark: SparkSession, ref: str) -> dict:
     """Best-effort lineage descriptor for the manifest: Iceberg
     snapshot id when the table supports it, file mtime-ish info for

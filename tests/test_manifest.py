@@ -76,3 +76,31 @@ def test_manifest_entries_carry_lineage(spark, tmp_path):
     for fn in os.listdir(mdir):
         with open(os.path.join(mdir, fn)) as f:
             json.load(f)
+
+
+def test_assume_nonnull_elements_elides_scan_and_matches(spark, tmp_path):
+    """ValidationEngine(assume_nonnull_elements=True) must produce the
+    same verdicts as the default engine on element-null-free data
+    while compiling WITHOUT the per-element null scan (parquet cannot
+    express the non-null-element contract; Iceberg required elements
+    get the elision automatically from containsNull=False)."""
+    from sjot_spark.engine import ValidationEngine
+    from sjot_spark.fixtures import (
+        SEQUENCE_SPEC, make_allowed_sources, make_sequences,
+    )
+
+    p = str(tmp_path / "seq")
+    make_sequences(spark, 500, violations=True).write.parquet(p)
+    df = spark.read.parquet(p)
+    dims = {"allowed_sources": make_allowed_sources(spark)}
+    base = ValidationEngine(SEQUENCE_SPEC).run(
+        df, dims=dims, persist_violations=False)
+    fast_eng = ValidationEngine(SEQUENCE_SPEC, assume_nonnull_elements=True)
+    fast = fast_eng.run(df, dims=dims, persist_violations=False)
+    rows = lambda r: sorted(  # noqa: E731
+        (v.key, v.check_id) for v in r.violations.collect())
+    assert rows(base) == rows(fast)
+    plan = fast.flags._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(lambda" not in plan and "array_compact" not in plan
+    base_plan = base.flags._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(lambda" in base_plan

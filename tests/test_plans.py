@@ -129,3 +129,38 @@ def test_bucketed_table_makes_uniqueness_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
     spark.sql("DROP TABLE IF EXISTS seq_bucketed_test")
+
+
+def test_element_null_scan_elided_when_schema_guarantees(spark):
+    """containsNull=False (Iceberg `element: required` analog) must
+    compile the token element check WITHOUT the null-scan traversal
+    (array_compact) — measured at ~2x the min/max cost otherwise."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType(),
+                                            containsNull=False)),
+    ])
+    df = spark.createDataFrame([("d1", [1, 2, 3])], schema)
+    eng = ValidationEngine({"@root": "#T",
+                            "T": {"doc_id": "string",
+                                  "tokens": "0..50256[1,8192]"},
+                            "@table": {"key": "doc_id"}})
+    plan = eng._flags_df(df, eng.compile(df)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # Catalyst rewrites array_compact to filter(..., isnotnull(lambda))
+    # in optimized plans, so assert on the rewritten form
+    assert "isnotnull(lambda" not in plan
+    assert "array_compact" not in plan
+    assert "array_min" in plan and "array_max" in plan
+    # and with the default containsNull=True the null scan is present
+    df2 = spark.createDataFrame([("d1", [1, 2, 3])],
+                                "doc_id string, tokens array<int>")
+    eng2 = ValidationEngine({"@root": "#T",
+                             "T": {"doc_id": "string",
+                                   "tokens": "0..50256[1,8192]"},
+                             "@table": {"key": "doc_id"}})
+    plan2 = eng2._flags_df(df2, eng2.compile(df2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(lambda" in plan2 or "array_compact" in plan2

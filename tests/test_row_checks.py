@@ -343,3 +343,21 @@ def test_any_combinator(spark):
         "k string, x int, y int",
     )
     assert viol == {"r2": {"any_x_y"}}
+
+
+def test_null_elements_violate_even_for_static_item_types(spark):
+    """A null element violates regardless of whether the item type
+    needs a runtime predicate ('int' over array<int> is statically
+    conformant but null must still be caught); 'any' items admit null
+    (the reference's default for any IS null, index.js:1194-1244)."""
+    spec = {"@root": "#T",
+            "T": {"k": "string", "ints?": "int[]", "strs?": "string[]",
+                  "anys?": "any[]"},
+            "@table": {"key": "k"}}
+    viol = run_checks(
+        spark, spec,
+        [("r1", [1, None, 2], ["a", None], [9, None]),
+         ("r2", [1, 2], ["a"], [None])],
+        "k string, ints array<int>, strs array<string>, anys array<int>",
+    )
+    assert viol == {"r1": {"ints_element_range", "strs_element_type"}}
