@@ -1221,6 +1221,102 @@ def _oracle_all_features() -> str:
     return oracle_all_features()
 
 
+# ------------------------------------------ more relational shapes
+
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority counts over orders with at least one late
+    lineitem (TPC-H q4 flavor): EXISTS = LEFT SEMI join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # the sf tables carry no l_commitdate; a late shipment is a
+    # fixed-date predicate instead (same EXISTS/semi-join shape)
+    late = li.where(F.col("l_shipdate") > "1997-06-01")
+    return (
+        o.where((F.col("o_orderdate") >= "1996-07-01")
+                & (F.col("o_orderdate") < "1996-10-01"))
+        .join(late.select("l_orderkey"),
+              o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > '1997-06-01')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (TPC-H q13 flavor): LEFT
+    OUTER join + two-level aggregation, customers with zero orders
+    included."""
+    cu = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Acct-balance analysis (TPC-H q22 flavor): scalar AVG subquery +
+    NOT EXISTS anti-join, exact cents metrics."""
+    cu = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    bal = _cents("c_acctbal")
+    # scalar subquery: average positive balance (exact integer cents
+    # via FLOOR division — both engines agree on integer math)
+    avg_row = cu.where(F.col("c_acctbal") > 0).agg(
+        F.floor(F.sum(bal) / F.count(F.lit(1))).alias("avg_cents")).first()
+    avg_cents = int(avg_row["avg_cents"])
+    recent = o.where(F.col("o_orderdate") >= "1998-01-01")
+    return (
+        cu.where(bal > avg_cents)
+        .join(recent.select("o_custkey"),
+              cu.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("cust_group"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(bal).alias("totacctbal_cents"))
+    )
+
+
+ORACLE_TPCH_Q22 = f"""
+WITH avg_bal AS (
+  SELECT FLOOR(SUM({_sql_cents("c_acctbal")}) / COUNT(*))::BIGINT AS a
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_custkey % 10 AS cust_group, COUNT(*) AS numcust,
+       SUM({_sql_cents("c_acctbal")})::BIGINT AS totacctbal_cents
+FROM customer, avg_bal
+WHERE {_sql_cents("c_acctbal")} > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1998-01-01')
+GROUP BY 1
+"""
+
+QUERIES.update({"tpch_q4": q_tpch_q4, "tpch_q13": q_tpch_q13,
+                "tpch_q22": q_tpch_q22})
+ORACLES.update({"tpch_q4": ORACLE_TPCH_Q4, "tpch_q13": ORACLE_TPCH_Q13,
+                "tpch_q22": ORACLE_TPCH_Q22})
+
+
 # ------------------------------------------------------------ set ops
 
 def q_set_except(spark, sf_dir):
