@@ -1317,6 +1317,41 @@ ORACLES.update({"tpch_q4": ORACLE_TPCH_Q4, "tpch_q13": ORACLE_TPCH_Q13,
                 "tpch_q22": ORACLE_TPCH_Q22})
 
 
+def q_repair_defaults(spark, sf_dir):
+    """P9 default substitution through the driver gate: seed nulls
+    into optional columns deterministically, run the opt-in repair()
+    (the engine's non-mutating analog of the reference's in-place
+    default insertion, index.js:424-442), return the repaired values."""
+    d = F.col("doc_id")
+    staged = (
+        load(spark, sf_dir, "documents").where(d < 400)
+        .select(
+            d.cast("string").alias("k"),
+            F.when(d % 7 == 2, F.lit(None)).otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(d % 11 == 3, F.lit(None)).otherwise(F.col("n_chars"))
+            .alias("nc"),
+        )
+    )
+    eng = ValidationEngine({
+        "@root": "#T",
+        "T": {"k": "string", "lang?en": "string", "nc?42": "integer"},
+        "@table": {"key": "k"},
+    })
+    return eng.repair(staged).select("k", "lang", "nc")
+
+
+ORACLE_REPAIR = """
+SELECT CAST(doc_id AS VARCHAR) AS k,
+       CASE WHEN doc_id % 7 = 2 THEN 'en' ELSE lang END AS lang,
+       (CASE WHEN doc_id % 11 = 3 THEN 42 ELSE n_chars END)::BIGINT AS nc
+FROM documents WHERE doc_id < 400
+"""
+
+QUERIES["repair_defaults"] = q_repair_defaults
+ORACLES["repair_defaults"] = ORACLE_REPAIR
+
+
 # ------------------------------------------------------------ set ops
 
 def q_set_except(spark, sf_dir):

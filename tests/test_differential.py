@@ -27,6 +27,7 @@ SPEC = CheckSpec({
         "stt?": "int{1,5}",
         "tup?": ["0..9", "10..19"],
         "un?": [["0..9", "null"]],
+        "ul?": "ulong",
         "p?": "int", "q?": "int",
         "@one": [["p", "q"]],
         "@dep": {"p": ["q"]},
@@ -38,16 +39,23 @@ DTYPES = {
     "k": "string", "rng": "int", "xr": "int", "enm": "int", "fr": "double",
     "mixed": "double", "ref": "int", "rx": "string", "hx": "string",
     "ch": "string", "arr": "array<int>", "stt": "array<int>",
-    "tup": "array<int>", "un": "int", "p": "int", "q": "int",
+    "tup": "array<int>", "un": "int", "ul": "double",
+    "p": "int", "q": "int",
 }
 SCHEMA = ("k string, rng int, xr int, enm int, fr double, mixed double, "
           "ref int, rx string, hx string, ch string, arr array<int>, "
-          "stt array<int>, tup array<int>, un int, p int, q int")
+          "stt array<int>, tup array<int>, un int, ul double, "
+          "p int, q int")
 
 maybe_int = st.one_of(st.none(), st.integers(-1000, 1000))
 small_int = st.one_of(st.none(), st.integers(-12, 12))
 maybe_float = st.one_of(st.none(), st.floats(-3, 3, allow_nan=False),
                         st.integers(-3, 3).map(float))
+# NaN included: the engine must reject it from every numeric check
+# exactly like the pure-Python evaluator (JS comparison semantics)
+nanable_float = st.one_of(
+    st.none(), st.just(float("nan")), st.floats(-2, 2 ** 40),
+    st.integers(-3, 3).map(float))
 maybe_str = st.one_of(st.none(), st.sampled_from(
     ["", "a", "ab", "abc", "abbc", "ac", "deadBEEF", "xyz", "ff00",
      "chars", "longer-string"]))
@@ -60,7 +68,8 @@ row_strategy = st.fixed_dictionaries({
     "ref": st.one_of(st.none(), st.integers(-5, 105)),
     "rx": maybe_str, "hx": maybe_str, "ch": maybe_str,
     "arr": int_list, "stt": int_list, "tup": int_list,
-    "un": small_int, "p": small_int, "q": small_int,
+    "un": small_int, "ul": nanable_float,
+    "p": small_int, "q": small_int,
 })
 
 
