@@ -421,6 +421,36 @@ FROM marked GROUP BY user_id
 """
 
 
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding event-time window (2h window, 1h slide) — the batch
+    twin of the watermarked streaming window aggregation
+    (sjot_spark.streaming.windows): each event lands in exactly two
+    windows; counts + exact cents per (window_start, event_type)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").start
+            .cast("string").alias("win_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(_cents("value")).alias("sum_value_cents"))
+    )
+
+
+ORACLE_EVENTS_SLIDING = f"""
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS s, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+  FROM events)
+SELECT CAST(s AS VARCHAR) AS win_start, event_type,
+       COUNT(*) AS n_events,
+       SUM({_sql_cents("value")})::BIGINT AS sum_value_cents
+FROM starts GROUP BY 1, 2
+"""
+
+
 def q_top_events_per_user(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -590,6 +620,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "events_hourly": q_events_hourly,
+    "events_sliding_window": q_events_sliding_window,
     "sessionization": q_sessionization,
     "top_events_per_user": q_top_events_per_user,
     "tpch_q1": q_tpch_q1,
@@ -611,6 +642,7 @@ ORACLES = {
     "knn_cosine": ORACLE_KNN,
     "ann_lsh": _oracle_ann_lsh(),
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_sliding_window": ORACLE_EVENTS_SLIDING,
     "sessionization": ORACLE_SESSIONIZATION,
     "top_events_per_user": ORACLE_TOP_EVENTS,
     "tpch_q1": ORACLE_TPCH_Q1,
