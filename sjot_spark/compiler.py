@@ -63,6 +63,18 @@ def _int_lit(v: int) -> Column:
     return F.lit(Decimal(v)).cast("decimal(20,0)")
 
 
+def _is_integral(c: Column) -> Column:
+    """Value-is-integral test for float columns. NOT `c == F.floor(c)`:
+    Spark's floor(double) returns LONG and saturates at 2^63-1, so
+    integral doubles >= 2^63 (valid ulong territory) would falsely
+    fail. `c % 1 == 0` is exact at every magnitude (doubles >= 2^53
+    are always integral, and % stays in double). +-Infinity counts as
+    integral to match the reference, where v === Math.floor(v) holds
+    for infinities (JS Math.floor(Inf) is Inf)."""
+    inf = float("inf")
+    return (c % 1 == 0) | c.isin(inf, -inf)
+
+
 def _not_nan(c: Column, dt: T.DataType) -> Column:
     """JS numeric comparisons with NaN are all false, so the reference
     rejects NaN from every range/sized-int/integer check; Spark treats
@@ -132,7 +144,7 @@ def range_pred(rs: RangeSpec, c: Column, col_is_float: bool) -> Column:
     int_match = reduce(or_, (interval(i) for i in rs.items))
     if not col_is_float:
         return int_match
-    isfloat = c != F.floor(c)
+    isfloat = ~_is_integral(c)
     fp = rs.float_prefix
     float_match = reduce(or_, (interval(i) for i in fp)) if fp else F.lit(False)
     return F.when(isfloat, float_match).otherwise(int_match)
@@ -163,7 +175,7 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve,
         if dom is None or t.hi < dom[1]:
             conds.append(c <= _int_lit(t.hi))
         if isinstance(dt, _FLOATY):
-            conds.append(c == F.floor(c))
+            conds.append(_is_integral(c))
             if isinstance(dt, _NANABLE):
                 conds.insert(0, _not_nan(c, dt))
         # both bounds statically unreachable on an integral column
@@ -195,7 +207,7 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve,
             if not isinstance(dt, _NUMERIC):
                 raise SpecError(f"integer type on non-numeric column type {dt}")
             if isinstance(dt, _FLOATY):
-                return _not_nan(c, dt) & (c == F.floor(c))
+                return _not_nan(c, dt) & _is_integral(c)
             return None
         if n == "null":
             # inside unions / struct fields: the value itself must be

@@ -66,12 +66,20 @@ def _ppm_header(payload: bytes):
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, c) uint8 array. PPM (P6)
     and PGM (P5) decode with pure numpy — no libraries; other formats
-    need PIL (absent in this environment by design)."""
-    hdr = _ppm_header(payload) if len(payload) >= 2 else None
+    need PIL (absent in this environment by design). Malformed or
+    truncated headers raise NotImplementedError (never a raw
+    ValueError/IndexError — one corrupt row must not kill a task with
+    an uncontrolled error)."""
+    try:
+        hdr = _ppm_header(payload) if len(payload) >= 2 else None
+    except (ValueError, IndexError) as e:
+        raise NotImplementedError(f"malformed PPM/PGM header: {e}") from e
     if hdr is not None:
         c, w, h, maxval, off = hdr
         if maxval > 255:
             raise NotImplementedError("16-bit PPM not supported")
+        if len(payload) < off + w * h * c:
+            raise NotImplementedError("truncated PPM/PGM payload")
         arr = np.frombuffer(payload, dtype=np.uint8,
                             count=w * h * c, offset=off)
         return arr.reshape(h, w, c)

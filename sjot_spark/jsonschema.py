@@ -312,7 +312,10 @@ def _js_to_type(js: dict):
             if isinstance(js.get("required"), list) else set()
         for name, sub in js.get("properties", {}).items():
             req = name in required or sub.get("required") is True
-            sub = {k: v for k, v in sub.items() if k != "required"}
+            if sub.get("required") is True:
+                # strip ONLY the draft-03 boolean flag; a nested
+                # object's required LIST must survive into recursion
+                sub = {k: v for k, v in sub.items() if k != "required"}
             key = name if req else (
                 f"{name}?{json.dumps(sub['default'])}".replace('"', "")
                 if "default" in sub else f"{name}?")

@@ -69,6 +69,10 @@ def value_histogram_jvm(
         df.where(F.col(column).isNotNull())
         .select(g.cast("string").alias("group"),
                 F.explode(F.col(column)).alias("v"))
+        # null elements carry no value information and must not be
+        # binned (greatest/least SKIP null inputs, which would silently
+        # count them in the clip-top bucket)
+        .where(F.col("v").isNotNull())
         .groupBy("group", bucket.cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -89,6 +93,10 @@ def value_histogram(
             for grp, sub in pdf.groupby("group"):
                 vals = sub["vals"].to_numpy()
                 flat = np.concatenate(vals) if len(vals) else np.array([], dtype=np.int64)
+                if flat.dtype == object:  # null elements arrive as None
+                    flat = flat[~pd.isnull(flat)]
+                elif flat.dtype.kind == "f":  # ...or as NaN (Arrow
+                    flat = flat[~np.isnan(flat)]  # promotes int+null)
                 if flat.size == 0:
                     continue
                 b = np.clip(flat.astype(np.int64) // bucket_width, 0, n_buckets - 1)

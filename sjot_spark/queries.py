@@ -903,16 +903,11 @@ def q_bpe_pretoken_stats(spark, sf_dir):
     per-source pre-token counts plus an md5-id checksum of the actual
     token CONTENT, so the oracle verifies the split itself, not just
     counts."""
-    from sjot_spark.datapipe.tokenize import pretokenize
+    from sjot_spark.datapipe.tokenize import pretokenize, token_id_expr
 
     docs = load(spark, sf_dir, "documents")
     staged = docs.select("source", pretokenize(F.col("text")).alias("t"))
-    ids = F.transform(
-        F.col("t"),
-        lambda x: F.pmod(
-            F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
-            F.lit(50257)),
-    )
+    ids = F.transform(F.col("t"), lambda x: token_id_expr(x).cast("long"))
     return (
         staged.select(
             "source",
@@ -929,14 +924,14 @@ def q_bpe_pretoken_stats(spark, sf_dir):
 
 
 def _oracle_bpe_pretokens() -> str:
-    from sjot_spark.datapipe.tokenize import BPE_PRETOKEN_RE
+    from sjot_spark.datapipe.tokenize import BPE_PRETOKEN_RE, _WS
 
     pat = BPE_PRETOKEN_RE.replace("'", "''")
     return rf"""
 WITH tok AS (
   SELECT source,
          list_filter(regexp_extract_all(text, '{pat}'),
-                     x -> NOT regexp_full_match(x, '\s+')) AS t
+                     x -> NOT regexp_full_match(x, '[{_WS}]+')) AS t
   FROM documents)
 SELECT source, COUNT(*) AS n_docs,
        SUM(len(t))::BIGINT AS sum_pretok,

@@ -26,6 +26,14 @@ def _is_float_dtype(dtype: str) -> bool:
     return dtype in _FLOATY_DTYPES
 
 
+def _integral_py(v) -> bool:
+    """Mirror of compiler._is_integral: infinities count as integral
+    (JS Math.floor(Inf) is Inf); math.floor would raise on them."""
+    if isinstance(v, float) and math.isinf(v):
+        return True
+    return float(v) == math.floor(v)
+
+
 def _scalar_ok(t: TypeNode, v, dtype: str, resolve) -> bool:
     """Does scalar value v pass type t? v is non-null."""
     while isinstance(t, Ref):
@@ -36,10 +44,12 @@ def _scalar_ok(t: TypeNode, v, dtype: str, resolve) -> bool:
         # integral column: only the plain interval union applies
         return any(it.contains(v) for it in t.spec.items)
     if isinstance(t, SizedInt):
+        if isinstance(v, float) and math.isnan(v):
+            return False
         if not (t.lo <= v <= t.hi):
             return False
         if _is_float_dtype(dtype):
-            return float(v) == math.floor(v)
+            return _integral_py(v)
         return True
     if isinstance(t, Regex):
         return re.match(t.anchored, v) is not None
@@ -57,7 +67,7 @@ def _scalar_ok(t: TypeNode, v, dtype: str, resolve) -> bool:
             return v is False
         if n == "integer":
             if _is_float_dtype(dtype):
-                return not math.isnan(v) and float(v) == math.floor(v)
+                return not math.isnan(v) and _integral_py(v)
             return True
         if n == "null":
             return v is None

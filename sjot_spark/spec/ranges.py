@@ -111,7 +111,10 @@ class RangeSpec:
         NaN never matches: every JS comparison with NaN is false."""
         if isinstance(v, float) and math.isnan(v):
             return False
-        isfloat = math.floor(v) != v
+        # infinities are integral per the reference (Math.floor(Inf)
+        # is Inf); math.floor raises on them in Python
+        isfloat = (not (isinstance(v, float) and math.isinf(v))
+                   and math.floor(v) != v)
         items = self.float_prefix if isfloat else self.items
         return any(it.contains(v) for it in items)
 

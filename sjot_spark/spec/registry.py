@@ -21,6 +21,7 @@ owning schema through sjot_validate's recursion)."""
 
 from __future__ import annotations
 
+import json
 from dataclasses import replace
 from typing import Callable
 
@@ -79,7 +80,19 @@ class SpecRegistry:
         if uri not in self._by_id:
             if self._loader is None:
                 raise SpecError(f"unknown schema {uri!r} and no loader configured")
-            self.add(self._loader(uri))  # cached, like sjot_load
+            doc = self._loader(uri)
+            raw = doc.doc if isinstance(doc, self._spec_cls) else (
+                json.loads(doc) if isinstance(doc, str) else doc)
+            got = raw.get("@id") if isinstance(raw, dict) else None
+            if got != uri:
+                # an @id mismatch must fail loudly BEFORE polluting the
+                # set (the reference caches under the requested URI,
+                # index.js:1149-1153; here @id is authoritative, so a
+                # loader answering with a different identity is a bug)
+                raise SpecError(
+                    f"loader returned schema with @id {got!r} for "
+                    f"requested URI {uri!r}")
+            self.add(doc)  # cached, like sjot_load
         return self._by_id[uri]
 
     def spec(self, uri: str):

@@ -348,3 +348,13 @@ def test_bpe_pretokenize_shapes(spark):
     # multi-space runs are eaten by \s+ (leftmost-first), so words
     # after them carry no space prefix — same as the GPT-2 splitter
     assert rows[2].t == ["spaced", "out"]
+
+
+def test_malformed_ppm_headers_raise_not_implemented():
+    """Truncated/garbage P6/P5 headers must raise NotImplementedError,
+    never a raw ValueError/IndexError that kills a Spark task."""
+    from sjot_spark.datapipe import multimodal as mm
+
+    for payload in (b"P6 12", b"P6\n", b"P6\n3 3\n255\nxy", b"P5#"):
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(payload)

@@ -55,6 +55,9 @@ maybe_float = st.one_of(st.none(), st.floats(-3, 3, allow_nan=False),
 # exactly like the pure-Python evaluator (JS comparison semantics)
 nanable_float = st.one_of(
     st.none(), st.just(float("nan")), st.floats(-2, 2 ** 40),
+    # integral doubles beyond 2^63: floor(double) saturates to long,
+    # the integrality check must not (round-2 review finding)
+    st.sampled_from([1e19, 2.0 ** 63, 2.0 ** 64 - 4096, 1.5e19]),
     st.integers(-3, 3).map(float))
 maybe_str = st.one_of(st.none(), st.sampled_from(
     ["", "a", "ab", "abc", "abbc", "ac", "deadBEEF", "xyz", "ff00",

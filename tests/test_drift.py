@@ -156,6 +156,7 @@ def test_value_histogram_formulations_agree_out_of_domain(spark):
         ("d0", [-5, -1, 0, 1023, 1024], "s0"),
         ("d1", [2 ** 21, 2 ** 21 + 7, (1 << 20) - 1, 1 << 20], "s0"),
         ("d2", [512, -(2 ** 31), 2 ** 31 - 1], "s1"),
+        ("d3", [None, 512, None], "s1"),   # null elements: never binned
     ]
     df = spark.createDataFrame(
         rows, "doc_id string, tokens array<int>, source string")
@@ -166,6 +167,7 @@ def test_value_histogram_formulations_agree_out_of_domain(spark):
     assert a == b
     n_buckets = (1 << 20) // 1024 + 1
     assert a[("s0", 0)] == 4          # -5, -1, 0, 1023 all clip/floor to 0
-    assert a[("s1", 0)] == 2          # 512 and INT_MIN (clipped)
+    assert a[("s1", 0)] == 3          # 512 x2 and INT_MIN (clipped);
+    #                                   d3's nulls contribute NOTHING
     assert a[("s0", n_buckets - 1)] == 3   # the two 2^21s + 1<<20 clip up
     assert a[("s1", n_buckets - 1)] == 1   # INT_MAX clips up

@@ -82,11 +82,21 @@ def test_infer_json_spec_from_events_props(spark):
 
 
 def test_infer_json_spec_accepts_real_events_table(spark):
+    import copy
+
     docs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     spec = jsoninfer.infer_json_spec(docs, "props", type_name="Props")
     assert spec.check() is True
-    # every sampled row must satisfy the inferred spec via the pure-
-    # Python evaluator (self-acceptance, the snapSJOT invariant)
-    from sjot_spark.spec.pyeval import _scalar_ok  # noqa: F401  (import check)
     root = spec.doc["Props"]
     assert isinstance(root, dict)
+    # self-acceptance (the snapSJOT invariant): unifying the inferred
+    # type with any sampled value must be a NO-OP — the value is
+    # already covered. deepcopy because unify mutates union lists.
+    sampled = [r[0] for r in docs.select("props")
+               .where("props IS NOT NULL").limit(200).collect()]
+    assert sampled
+    for raw in sampled:
+        v = json.loads(raw)
+        unified = jsoninfer.unify(copy.deepcopy(root),
+                                  jsoninfer.convert(v))
+        assert unified == root, f"value {v} not covered by inferred {root}"

@@ -149,3 +149,17 @@ def test_every_version_round_trips_semantics(version):
     assert isinstance(props["tup"].type, TupleT) \
         and len(props["tup"].type.items) == 2
     assert back.root.dep == (("s", ("c",)),)
+
+
+def test_nested_object_required_survives_round_trip():
+    """A nested object's required LIST must not be consumed by the
+    draft-03 boolean-required stripping (round-2 review finding)."""
+    spec = CheckSpec({"@root": "#T",
+                      "T": {"o?": {"x": "0..9", "y?": "string"}}})
+    for version in (3, 4, 7):
+        back = from_json_schema(to_json_schema(spec, version=version),
+                                root_name="T")
+        o = {p.name: p for p in back.root.props}["o"].type
+        sub = {p.name: p for p in o.props}
+        assert not sub["x"].optional, f"v{version}: nested x lost required"
+        assert sub["y"].optional

@@ -92,6 +92,25 @@ def test_cross_schema_ref_without_registry_rejected():
         spec.resolve("https://x#T")
 
 
+def test_loader_id_mismatch_rejected():
+    """A loader answering with a different @id than requested must fail
+    with a clear SpecError BEFORE polluting the set, every time."""
+    calls = []
+
+    def loader(uri):
+        calls.append(uri)
+        return {"@id": "https://example.org/other", "Score": "0..9"}
+
+    reg = SpecRegistry(loader=loader)
+    main = reg.add(MAIN_SCHEMA)
+    for _ in range(2):
+        with pytest.raises(SpecError, match="loader returned schema"):
+            main.resolve("https://example.org/types#Score")
+    assert calls == ["https://example.org/types"] * 2
+    # the mismatched schema must NOT have been registered
+    assert "https://example.org/other" not in reg._by_id
+
+
 def test_duplicate_id_and_spaghetti_rejected():
     reg, _ = make_registry()
     with pytest.raises(SpecError, match="duplicate"):
