@@ -2,7 +2,7 @@
 reference's comprehensive golden test (/root/reference/dev/test.js:3-116).
 
 One CheckSpec declaring every DSL feature class (P1-P12, A1-A6, C1-C6,
-formats, refs, unions, @extends) validates a deterministic 32-column
+formats, refs, unions, @extends) validates a deterministic 34-column
 table derived purely from ``documents.doc_id``. Every column's value —
 and every seeded corruption — is a pure integer-modulo function of
 doc_id, so the DuckDB oracle predicts the exact violation set
@@ -51,7 +51,9 @@ ALL_FEATURES_SPEC = {
         "ref?": "#Score",
         "obj?": {"x": "0..9", "y?": "string"},
         "p?": "int", "q?": "int", "m?": "int", "n?": "int",
+        "y1?": "int", "y2?": "int",
         "@one": [["p", "q"]],
+        "@any": [["y1", "y2"]],
         "@all": [["m", "n"]],
         "@dep": {"m": ["n"]},
     },
@@ -124,6 +126,8 @@ def build_table(docs: DataFrame) -> DataFrame:
         F.when((d % 8 >= 2) & (d % 8 <= 5), F.lit(2)).alias("q"),
         F.when(d % 6 < 3, F.lit(1)).alias("m"),
         F.when(d % 6 < 2, F.lit(1)).alias("n"),
+        F.when(~mod(52, 35), F.lit(1)).alias("y1"),
+        F.when((d % 52 != 35) & (d % 52 != 40), F.lit(1)).alias("y2"),
     )
 
 
@@ -167,6 +171,7 @@ _CASES = [
     ("ref_range", "doc_id % 110 > 100"),
     ("obj_type", "doc_id % 45 = 31"),
     ("one_p_q", "doc_id % 8 IN (2, 3, 6, 7)"),
+    ("any_y1_y2", "doc_id % 52 = 35"),
     ("all_m_n", "doc_id % 6 = 2"),
     ("dep_m", "doc_id % 6 = 2"),
 ]

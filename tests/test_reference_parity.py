@@ -61,6 +61,50 @@ RANGE_CASES = [
 ]
 
 
+def test_infinity_and_big_double_parity_with_reference():
+    """Infinities count as integral (JS Math.floor(Inf) === Inf) and
+    integral doubles past 2^63 stay integral (round-2 review fix:
+    Spark floor(double) saturates to long) — verified against the
+    actual reference."""
+    cases = [
+        {"kind": "valid", "data": float("inf"), "type": "0.."},
+        {"kind": "valid", "data": float("inf"), "type": "0..10"},
+        {"kind": "valid", "data": float("-inf"), "type": "..5"},
+        {"kind": "valid", "data": float("inf"), "type": "integer"},
+        {"kind": "valid", "data": 1e19, "type": "ulong"},
+    ]
+    # JSON can't carry Infinity; inject JS literals via a dedicated driver
+    import json as _json
+
+    driver = """
+const SJOT = require("/root/reference/index.js");
+const out = [
+  SJOT.valid(Infinity, "0.."), SJOT.valid(Infinity, "0..10"),
+  SJOT.valid(-Infinity, "..5"), SJOT.valid(Infinity, "integer"),
+  SJOT.valid(1e19, "ulong"),
+];
+console.log(JSON.stringify(out));
+"""
+    import subprocess as _sp
+
+    ref = _json.loads(_sp.run([node, "-e", driver], capture_output=True,
+                              check=True).stdout)
+    from sjot_spark.spec.ranges import parse_range
+    from sjot_spark.spec.pyeval import _scalar_ok
+    from sjot_spark.spec.typestr import parse_type
+
+    ours = [
+        parse_range("0..").match_py(float("inf")),
+        parse_range("0..10").match_py(float("inf")),
+        parse_range("..5").match_py(float("-inf")),
+        _scalar_ok(parse_type("integer", "/t"), float("inf"), "double",
+                   lambda n: None),
+        _scalar_ok(parse_type("ulong", "/t"), 1e19, "double",
+                   lambda n: None),
+    ]
+    assert ours == ref == [True, False, True, True, True]
+
+
 def test_range_parity_with_reference():
     cases = [{"kind": "valid", "data": v, "type": t} for t, v in RANGE_CASES]
     expected = run_reference(cases)
