@@ -275,9 +275,8 @@ def scalar_pred(t: TypeNode, c: Column, dt: T.DataType, resolve,
         while isinstance(item_node, Ref):
             item_node = resolve(item_node.name)
         contains_null = dt.containsNull and not nonnull_elems
-        if scalar_pred(t.item, F.lit(0), dt.elementType, resolve) is not None \
-                or isinstance(item_node, (ArrayOf, Tuple, ObjectT)) \
-                or (contains_null and not _elem_admits_null(item_node)):
+        if _needs_element_check(t.item, item_node, dt.elementType,
+                                contains_null, resolve):
             fast = _interval_elem_pred(item_node, c, dt.elementType,
                                        contains_null)
             if fast is not None:
@@ -367,6 +366,22 @@ def bounds_pred(b: Bounds, n: Column) -> Column | None:
     if b.hi is not None:
         conds.append(n <= F.lit(b.hi))
     return reduce(and_, conds)
+
+
+def _needs_element_check(
+    item: TypeNode, item_resolved: TypeNode, elem_dt: T.DataType,
+    contains_null: bool, resolve,
+) -> bool:
+    """Single source of truth for whether an array needs a per-element
+    check: the item type has a runtime predicate, OR it is a container
+    (null sub-arrays/structs must be caught), OR null elements are
+    possible and the item type doesn't admit them. (This decision
+    diverged between its two call sites once — keep it in one place.)"""
+    return (
+        scalar_pred(item, F.lit(0), elem_dt, resolve) is not None
+        or isinstance(item_resolved, (ArrayOf, Tuple, ObjectT))
+        or (contains_null and not _elem_admits_null(item_resolved))
+    )
 
 
 def _elem_admits_null(item: TypeNode) -> bool:
@@ -602,17 +617,11 @@ def _compile_column(
         while isinstance(item_dry, Ref):
             item_dry = resolve(item_dry.name)
         contains_null = dt.containsNull and not nonnull_elems
-        needs_elem = (
-            scalar_pred(t.item, F.lit(0), elem_dt, resolve) is not None
-            or isinstance(item_dry, (ArrayOf, Tuple, ObjectT))
-            # statically-conformant items still need the null scan
-            # (null elements violate — no default insertion) — UNLESS
-            # the schema guarantees non-null elements, making the check
-            # free (Iceberg `element: required` is the 100 TB path; see
-            # _interval_elem_pred / engine assume_nonnull_elements),
-            # or the item type admits null
-            or (contains_null and not _elem_admits_null(item_dry))
-        )
+        # null-scan elision: containsNull=False (Iceberg `element:
+        # required`) or engine assume_nonnull_elements makes a
+        # statically-conformant element check free entirely
+        needs_elem = _needs_element_check(
+            t.item, item_dry, elem_dt, contains_null, resolve)
 
         def elem_pred(x: Column) -> Column:
             p = scalar_pred(t.item, x, elem_dt, resolve, nonnull_elems)

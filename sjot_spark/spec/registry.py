@@ -95,10 +95,6 @@ class SpecRegistry:
             self.add(doc)  # cached, like sjot_load
         return self._by_id[uri]
 
-    def spec(self, uri: str):
-        """Public lookup of a member spec (engine entry point)."""
-        return self.get(uri)
-
     def resolve(self, ref: str) -> TypeNode:
         """``URI#name`` / ``URI#`` → the named (or root) type of the
         member schema, with its internal references qualified."""
