@@ -33,6 +33,13 @@ def main(argv=None) -> int:
                     help="name=parquet_path pairs for @table.drift baselines")
     ap.add_argument("--checkpointed", action="store_true",
                     help="partition-by-partition resumable run")
+    ap.add_argument("--detail-level", default="full",
+                    choices=("full", "fast"),
+                    help="fast = no diagnostic strings (FAST build analog)")
+    ap.add_argument("--assume-nonnull-elements", action="store_true",
+                    help="elide the per-element null scan when the "
+                         "producer contract forbids null array elements "
+                         "(Iceberg element:required gets this free)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -42,7 +49,9 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("sjot-validate").getOrCreate()
     with open(args.spec) as f:
-        engine = ValidationEngine(json.load(f))
+        engine = ValidationEngine(
+            json.load(f), detail_level=args.detail_level,
+            assume_nonnull_elements=args.assume_nonnull_elements)
     df = spark.read.parquet(args.input)
     dims = {
         kv.split("=", 1)[0]: spark.read.parquet(kv.split("=", 1)[1])
