@@ -70,6 +70,71 @@ def build_ivf(
     return assigned, centroids
 
 
+def hash_seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, nlist: int,
+) -> DataFrame:
+    """Deterministic, engine-independent IVF seeding WITHOUT KMeans:
+    cell c's centroid is the vector with the minimum md5(id) among ids
+    with id % nlist == c. Centroid quality is below a fitted KMeans,
+    but the choice is a pure function of the data — so the ENTIRE
+    inverted-file pipeline (assignment, nprobe pruning, exact rerank)
+    becomes DuckDB-oracle-checkable (queries.ann_ivf_hash); KMeans
+    quality itself stays covered by the recall pytest on ann_ivf."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.pmod(F.col(id_col), nlist)).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.select(
+            F.pmod(F.col(id_col), nlist).cast("int").alias("cell"),
+            F.col(vec_col).alias("cvec"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ann_ivf_hashseed(
+    df: DataFrame, id_col: str, vec_col: str,
+    query_ids: list[int], k: int = 5,
+    nlist: int = 8, nprobe: int = 3,
+) -> DataFrame:
+    """ann_ivf with hash-seeded centroids (see hash_seed_centroids):
+    assign every vector to its max-cosine centroid (broadcast seeds —
+    the corpus never shuffles for assignment), probe the nprobe
+    closest cells per query, exact cosine rerank within them."""
+    from pyspark.sql.window import Window
+
+    seeds = hash_seed_centroids(df, id_col, vec_col, nlist)
+    sim = cosine(F.col(vec_col), F.col("cvec"))
+    assigned = (
+        df.crossJoin(F.broadcast(seeds))
+        .withColumn("_arank", F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc(sim), F.asc("cell"))))
+        .where(F.col("_arank") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qc = (
+        q.crossJoin(F.broadcast(seeds))
+        .withColumn("_crank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc(cosine(F.col("qvec"), F.col("cvec"))),
+                F.asc("cell"))))
+        .where(F.col("_crank") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = assigned.join(F.broadcast(qc), "cell") \
+        .where(F.col(id_col) != F.col("query_id"))
+    sims = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col(vec_col)).cast("double").alias("cos_sim"),
+    )
+    return topk_by_sim(sims, k)
+
+
 def ann_ivf(
     df: DataFrame, id_col: str, vec_col: str,
     query_ids: list[int], k: int = 5,

@@ -347,6 +347,72 @@ FROM cand QUALIFY rank <= 5
 """
 
 
+def _sql_cosine(a: str, b: str, dim: int) -> str:
+    """Bit-exact SQL twin of similarity.cosine over float arrays:
+    per-term products happen in FLOAT (Spark's zip_with multiplies two
+    floats before the fold widens), accumulation in DOUBLE, explicit
+    left-to-right order, dot / (norm_a * norm_b)."""
+    dot = " + ".join(
+        f"CAST({a}[{i}]*{b}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
+    na = " + ".join(
+        f"CAST({a}[{i}]*{a}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
+    nb = " + ".join(
+        f"CAST({b}[{i}]*{b}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
+
+
+def q_ann_ivf_hash(spark, sf_dir):
+    """IVF with deterministic md5-seeded centroids: the ENTIRE
+    inverted-file pipeline (cell assignment, nprobe pruning, exact
+    rerank) through the driver gate with a bit-exact SQL twin — the
+    oracle-checkable sibling of the KMeans ann_ivf (whose fitted
+    centroids are the only non-SQL-expressible piece)."""
+    from sjot_spark.datapipe.ivf import ann_ivf_hashseed
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_ivf_hashseed(
+        emb, "vec_id", "embedding", [0, 1, 2], k=5, nlist=8, nprobe=3,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _oracle_ann_ivf_hash(nlist: int = 8, nprobe: int = 3, k: int = 5) -> str:
+    cos_ec = _sql_cosine("e.embedding", "s.cvec", 64)
+    cos_qc = _sql_cosine("q.qvec", "s.cvec", 64)
+    cos_qn = _sql_cosine("qvec", "embedding", 64)
+    return f"""
+WITH ranked_seeds AS (
+  SELECT (vec_id % {nlist}) AS cell, embedding AS cvec,
+         row_number() OVER (PARTITION BY vec_id % {nlist}
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings),
+seeds AS (SELECT cell, cvec FROM ranked_seeds WHERE rn = 1),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, s.cell) AS arank
+    FROM embeddings e CROSS JOIN seeds s) t
+  WHERE arank = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id IN (0, 1, 2)),
+probe AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.query_id, q.qvec, s.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_qc} DESC, s.cell) AS crank
+    FROM q CROSS JOIN seeds s) t
+  WHERE crank <= {nprobe})
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+         ORDER BY {cos_qn} DESC, neighbor_id) AS rank
+FROM (SELECT p.query_id, a.vec_id AS neighbor_id, p.qvec, a.embedding
+      FROM probe p JOIN assigned a USING (cell)
+      WHERE a.vec_id != p.query_id) c
+QUALIFY rank <= {k}
+"""
+
+
 def q_cosine_dup_lsh(spark, sf_dir):
     """The embedding near-dup SCALE path through the driver gate:
     bucket by full sign-LSH signature (only collisions shuffle),
@@ -619,6 +685,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf_hash": q_ann_ivf_hash,
     "events_hourly": q_events_hourly,
     "events_sliding_window": q_events_sliding_window,
     "sessionization": q_sessionization,
@@ -641,6 +708,7 @@ ORACLES = {
     # minhash_lsh, simhash_pairs oracles attached below (generated SQL)
     "knn_cosine": ORACLE_KNN,
     "ann_lsh": _oracle_ann_lsh(),
+    "ann_ivf_hash": _oracle_ann_ivf_hash(),
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sliding_window": ORACLE_EVENTS_SLIDING,
     "sessionization": ORACLE_SESSIONIZATION,

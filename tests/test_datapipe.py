@@ -358,3 +358,26 @@ def test_malformed_ppm_headers_raise_not_implemented():
     for payload in (b"P6 12", b"P6\n", b"P6\n3 3\n255\nxy", b"P5#"):
         with pytest.raises(NotImplementedError):
             mm.decode_image(payload)
+
+
+def test_ann_ivf_hashseed_recovers_clustered_neighbors(spark):
+    """The hash-seeded IVF variant (oracle-checkable pipeline) must
+    still recover same-cluster neighbors on clustered data."""
+    import numpy as np
+
+    from sjot_spark.datapipe import similarity
+    from sjot_spark.datapipe.ivf import ann_ivf_hashseed
+
+    rng = np.random.RandomState(5)
+    bases = [rng.rand(8) * s for s in (1, -1, 2)]
+    rows = [(i, [float(x) for x in (bases[i % 3] + rng.rand(8) * 0.05)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.knn_bruteforce(
+                 df, "vec_id", "embedding", [0, 1], k=3).collect()}
+    approx = {(r.query_id, r.rank): r.neighbor_id
+              for r in ann_ivf_hashseed(df, "vec_id", "embedding", [0, 1],
+                                        k=3, nlist=6, nprobe=4).collect()}
+    assert approx[(0, 1)] == exact[(0, 1)]
+    assert approx[(1, 1)] == exact[(1, 1)]
