@@ -1406,9 +1406,73 @@ WHERE {_sql_cents("c_acctbal")} > a
 GROUP BY 1
 """
 
+def q_tpch_q14(spark, sf_dir):
+    """Promo revenue share (TPC-H q14 flavor): conditional aggregation
+    over a broadcast join; BOTH sums reported as exact scaled integers
+    instead of the ratio (cross-engine float division is not hashable)."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    rev = _rev_x10000()
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .where((F.col("l_shipdate") >= "1996-09-01")
+               & (F.col("l_shipdate") < "1996-10-01"))
+        .agg(F.sum(F.when(promo, rev).otherwise(0))
+             .alias("promo_revenue_x10000"),
+             F.sum(rev).alias("total_revenue_x10000"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+ORACLE_TPCH_Q14 = f"""
+SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_SQL_REV} ELSE 0 END)::BIGINT
+         AS promo_revenue_x10000,
+       SUM({_SQL_REV})::BIGINT AS total_revenue_x10000,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Disjunctive multi-attribute predicates over a broadcast join
+    (TPC-H q19 flavor: OR of per-brand AND-groups) — exercises
+    predicate pushdown through OR branches."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    rev = _rev_x10000()
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+    )
+    return j.where(cond).agg(
+        F.sum(rev).alias("revenue_x10000"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q19 = f"""
+SELECT SUM({_SQL_REV})::BIGINT AS revenue_x10000, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20
+       AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
 QUERIES.update({"tpch_q4": q_tpch_q4, "tpch_q13": q_tpch_q13,
+                "tpch_q14": q_tpch_q14, "tpch_q19": q_tpch_q19,
                 "tpch_q22": q_tpch_q22})
 ORACLES.update({"tpch_q4": ORACLE_TPCH_Q4, "tpch_q13": ORACLE_TPCH_Q13,
+                "tpch_q14": ORACLE_TPCH_Q14, "tpch_q19": ORACLE_TPCH_Q19,
                 "tpch_q22": ORACLE_TPCH_Q22})
 
 
