@@ -307,6 +307,73 @@ class ValidationEngine:
             check_ids=sorted({c for r in results for c in r.check_ids}),
         )
 
+    def run_dispatched(
+        self,
+        df: DataFrame,
+        specs: dict[str, "CheckSpec | dict"],
+        on: str,
+        dims: dict[str, DataFrame] | None = None,
+    ) -> ValidationResult:
+        """Per-ROW spec dispatch over a discriminator column — the
+        closest SCALABLE analog of SJOT's embedded per-object ``@sjot``
+        schema (/root/reference/index.js:111-131). A Spark column
+        cannot carry a runtime schema per row (fixed-schema columnar
+        table), but a row CAN name its spec: each registered spec
+        validates the slice whose ``on`` value names it, and rows
+        naming an UNREGISTERED spec produce a typed
+        ``dispatch_unknown_spec`` violation — the analog of the
+        reference's ``throw "Invalid @sjot schema"`` (index.js:126).
+
+        Scale shape: each slice is a filter of the same scan; lay the
+        table out partitioned by ``on`` (Iceberg identity transform /
+        hive layout) and every slice scan partition-prunes, so the
+        union costs one logical pass over the data total — vs
+        run_with_overrides this is strict (no base-spec fallback) and
+        needs no @table.partition_by."""
+        key = self.spec.table.key or df.columns[0]
+        listed = list(specs)
+        results = []
+        for value, spec in specs.items():
+            eng = ValidationEngine(spec)
+            results.append(eng.run(df.where(F.col(on) == value), dims=dims))
+        # NULL discriminators must dispatch to "unknown" too (a bare
+        # ~isin yields SQL NULL which where() drops)
+        unknown = df.where(
+            F.coalesce(~F.col(on).isin(listed), F.lit(True)))
+        on_str = F.coalesce(F.col(on).cast("string"), F.lit("null"))
+        unknown_viol = unknown.select(
+            F.col(key).cast("string").alias("key"),
+            on_str.alias("partition"),
+            F.lit("dispatch_unknown_spec").alias("check_id"),
+            F.format_string(
+                f"$.{on} value %s names no registered spec", on_str,
+            ).alias("detail"),
+        )
+        unknown_verd = (
+            unknown.groupBy(on_str.alias("partition"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                "partition", "n_rows",
+                F.col("n_rows").alias("n_violations"),
+                F.col("n_rows").alias("n_bad_rows"),
+                F.lit("fail").alias("verdict"),
+            )
+        )
+        violations = reduce(
+            DataFrame.unionByName,
+            [r.violations for r in results] + [unknown_viol])
+        verdicts = reduce(
+            DataFrame.unionByName,
+            [r.verdicts for r in results] + [unknown_verd])
+        return ValidationResult(
+            flags=results[0].flags if results else self.run(df, dims).flags,
+            violations=violations,
+            verdicts=verdicts,
+            check_ids=sorted(
+                {c for r in results for c in r.check_ids}
+                | {"dispatch_unknown_spec"}),
+        )
+
     # ----------------------------------------------------------- drift
 
     def profile(self, df: DataFrame) -> dict[str, DataFrame]:

@@ -132,7 +132,22 @@ def unify_unions(u1: list, u2: list) -> list:
                 if redo or u2[j] is None:
                     continue
                 t = None
-                if u1[i] == u2[j]:
+                if isinstance(u1[i], dict) and isinstance(u2[j], dict):
+                    # dict-dict FIRST, even when equal: the reference
+                    # never equates two object types in place — equal
+                    # objects merge-cascade to the END of the union
+                    # (snapsjot.js:249-265), so member order matches
+                    t2 = unify_objects(u1[i], u2[j])
+                    if not isinstance(t2, list):
+                        # merged object: cascade — drop u1[i], requeue
+                        # the merge for another pass (snapsjot.js:252-259)
+                        del u1[i]
+                        u2[j] = t2
+                        redo = True
+                    # distinct objects: result discarded; u2[j] stays
+                    # and is appended by the final sweep
+                    # (snapsjot.js:249-265: `type = null` either way)
+                elif u1[i] == u2[j]:
                     u2[j] = None
                 elif (isinstance(u1[i], list) and u1[i]
                         and isinstance(u2[j], list) and not u2[j]):
@@ -145,18 +160,6 @@ def unify_unions(u1: list, u2: list) -> list:
                         and isinstance(u2[j], list) and u2[j]):
                     t = unify(u1[i], u2[j])
                     u2[j] = None
-                elif isinstance(u1[i], dict) and isinstance(u2[j], dict):
-                    t2 = unify_objects(u1[i], u2[j])
-                    if not isinstance(t2, list):
-                        # merged object: cascade — drop u1[i], requeue
-                        # the merge for another pass (snapsjot.js:252-259)
-                        del u1[i]
-                        u2[j] = t2
-                        redo = True
-                    # distinct objects: result discarded; u2[j] stays
-                    # and is appended by the final sweep
-                    # (snapsjot.js:249-265: `type = null` either way)
-                    t = None
                 if t is not None:
                     if _is_union(t):
                         u1[i] = t[0][0]

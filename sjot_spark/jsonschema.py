@@ -169,25 +169,36 @@ def _node_to_js(t: TypeNode, version: int = 7) -> dict:
             d["required"] = required
         if t.final:
             d["additionalProperties"] = False
-        all_of = []
         if v >= 4:
-            # propset combinators need oneOf/anyOf/not: draft-04+
-            # (the reference emits them only for version >= 4,
-            # sjot2js.js:339-383)
-            for s in t.one:
-                all_of.append({"oneOf": [{"required": [p]} for p in s]})
-            for s in t.any:
-                all_of.append({"anyOf": [{"required": [p]} for p in s]})
-            for s in t.all:
-                all_of.append({"anyOf": [
+            # propset combinators need oneOf/anyOf/not: draft-04+.
+            # Shape matches the reference exactly (sjot2js.js:339-383):
+            # a SINGLE @one/@any propset becomes the object's own
+            # oneOf/anyOf; multiple propsets each wrap in an allOf
+            # member; @all always emits as allOf members of the form
+            # oneOf[{required: set}, {not: {anyOf: each-required}}].
+            one_sets = [[{"required": [p]} for p in s] for s in t.one]
+            any_sets = [[{"required": [p]} for p in s] for s in t.any]
+            all_of = []
+            if len(one_sets) == 1:
+                d["oneOf"] = one_sets[0]
+            else:
+                all_of += [{"oneOf": s} for s in one_sets]
+            if len(any_sets) == 1:
+                d["anyOf"] = any_sets[0]
+            else:
+                all_of += [{"anyOf": s} for s in any_sets]
+            all_of += [
+                {"oneOf": [
                     {"required": list(s)},
                     {"not": {"anyOf": [{"required": [p]} for p in s]}},
-                ]})
+                ]}
+                for s in t.all
+            ]
+            if all_of:
+                d["allOf"] = all_of
         if t.dep:
             key = "dependentRequired" if v >= 7 else "dependencies"
             d[key] = {p: list(deps) for p, deps in t.dep}
-        if all_of:
-            d["allOf"] = all_of
         return d
     raise SpecError(f"cannot convert {t} to JSON Schema")
 
@@ -223,12 +234,44 @@ def _bound(js: dict, key: str, xkey: str):
     return js.get(key), bool(x) and key in js
 
 
+def _propset_variants(lst):
+    """``[{"required": ["p"]}, ...]`` (>= 2 single-prop variants, the
+    shape sjot2js emits per @one/@any propset) -> ``["p", ...]``."""
+    if (isinstance(lst, list) and len(lst) >= 2 and all(
+            isinstance(m, dict) and set(m) == {"required"}
+            and isinstance(m["required"], list) and len(m["required"]) == 1
+            and isinstance(m["required"][0], str)
+            for m in lst)):
+        return [m["required"][0] for m in lst]
+    return None
+
+
+def _all_propset(m: dict):
+    """allOf member encoding an @all propset (sjot2js.js:363-371:
+    ``oneOf [{required: set}, {not: {anyOf: each-required}}]``;
+    the equivalent anyOf spelling is accepted too) -> prop list."""
+    for key in ("oneOf", "anyOf"):
+        alt = m.get(key)
+        if (isinstance(alt, list) and len(alt) == 2
+                and isinstance(alt[0], dict) and set(alt[0]) == {"required"}
+                and isinstance(alt[1], dict) and set(alt[1]) == {"not"}
+                and isinstance(alt[1]["not"], dict)
+                and _propset_variants(alt[1]["not"].get("anyOf"))
+                == alt[0]["required"]):
+            return list(alt[0]["required"])
+    return None
+
+
 def _js_to_type(js: dict):
     if not isinstance(js, dict):
         raise SpecError("invalid JSON Schema node")
     if "$ref" in js:
         return "#" + js["$ref"].rsplit("/", 1)[-1]
-    if "anyOf" in js:
+    # an object node may carry a propset-encoded anyOf (single @any,
+    # sjot2js.js:357-359) — that is NOT a union; fall through to the
+    # object branch which reads it back as @any
+    if "anyOf" in js and js.get("type") != "object" \
+            and "properties" not in js:
         members = [_js_to_type(x) for x in js["anyOf"]]
         from sjot_spark.spec.ranges import RANGE_STRING_RE
 
@@ -330,6 +373,36 @@ def _js_to_type(js: dict):
             out["@dep"] = {
                 k: list(v) for k, v in deps.items() if isinstance(v, list)
             }
+        # propsets back from every shape the emitter produces: a single
+        # @one/@any propset rides on the object's own oneOf/anyOf;
+        # multiple (and all @all) are allOf members
+        one, any_, all_ = [], [], []
+        ps = _propset_variants(js.get("oneOf"))
+        if ps:
+            one.append(ps)
+        ps = _propset_variants(js.get("anyOf"))
+        if ps:
+            any_.append(ps)
+        for m in js.get("allOf", []):
+            if not isinstance(m, dict):
+                continue
+            s = _all_propset(m)
+            if s is not None:
+                all_.append(s)
+                continue
+            ps = _propset_variants(m.get("oneOf"))
+            if ps:
+                one.append(ps)
+                continue
+            ps = _propset_variants(m.get("anyOf"))
+            if ps:
+                any_.append(ps)
+        if one:
+            out["@one"] = one
+        if any_:
+            out["@any"] = any_
+        if all_:
+            out["@all"] = all_
         return out
     return "any"
 

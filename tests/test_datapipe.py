@@ -243,10 +243,34 @@ def test_build_ivf_fits_on_bounded_sample(spark):
     rows = [(i, [float(x) for x in rng.rand(4)]) for i in range(400)]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     assigned, centroids = build_ivf(
-        df, "vec_id", "embedding", nlist=4, max_fit_rows=50)
+        df, "vec_id", "embedding", nlist=4, max_fit_rows=50,
+        approx_rows=400)
     assert assigned.count() == 400          # full corpus assigned
     assert len(centroids) == 4
     assert assigned.select("cell").distinct().count() <= 4
+
+
+def test_build_ivf_never_counts_the_corpus(spark, monkeypatch):
+    """Round-2 finding: build_ivf spent a full corpus pass on
+    ml.count() just to size the sample. The fit must now derive its
+    sample without ANY count job (approx_rows comes from table
+    metadata at scale; a limit caps the fit input either way)."""
+    import numpy as np
+
+    from pyspark.sql import DataFrame
+
+    from sjot_spark.datapipe.ivf import build_ivf
+
+    def boom(self):
+        raise AssertionError("build_ivf must not run a count() job")
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.rand(4)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    monkeypatch.setattr(DataFrame, "count", boom)
+    _, centroids = build_ivf(df, "vec_id", "embedding", nlist=4,
+                             max_fit_rows=100, approx_rows=300)
+    assert len(centroids) == 4
 
 
 def test_fingerprint_window_and_array_formulations_agree(spark, docs):

@@ -35,6 +35,8 @@ CASES = [
     {"nested": {"x": [1, "y"]}},
     [{"a": [1]}, {"a": ["s"]}],               # array-item union inside merge
     [None, {"a": 1}],
+    [{"a": 1}, "x", {"a": 2}],  # equal objects merge-cascade to union END
+    [{"a": 1}, "x", {"a": 1}, True, {"a": 2}],
 ]
 
 

@@ -1,5 +1,8 @@
 """JSON Schema converter round-trips (sjot2js/js2sjot analogs)."""
 
+import json
+import shutil
+
 import pytest
 
 from sjot_spark.jsonschema import from_json_schema, to_json_schema
@@ -42,7 +45,10 @@ def test_to_json_schema_shapes():
     assert p["flag"]["default"] is True
     assert set(js["required"]) == {"id", "n", "toks"}
     assert js["dependentRequired"] == {"s": ["c"]}
-    assert {"oneOf": [{"required": ["a"]}, {"required": ["b"]}]} in js["allOf"]
+    # a SINGLE @one propset rides on the object's own oneOf
+    # (sjot2js.js:347-349), not inside allOf
+    assert js["oneOf"] == [{"required": ["a"]}, {"required": ["b"]}]
+    assert "allOf" not in js
     assert js["definitions"]["Score"] == {
         "type": "integer", "minimum": 0, "maximum": 100}
 
@@ -112,7 +118,8 @@ def test_version_schema_uris_and_required_placement():
     assert v3["dependencies"] == {"s": ["c"]}
     # draft-04: required list + combinators, dependencies spelling
     assert set(v4["required"]) == {"id", "n", "toks"}
-    assert {"oneOf": [{"required": ["a"]}, {"required": ["b"]}]} in v4["allOf"]
+    assert v4["oneOf"] == [{"required": ["a"]}, {"required": ["b"]}]
+    assert "oneOf" not in v3  # propsets are draft-04+ only
     assert v4["dependencies"] == {"s": ["c"]}
     with pytest.raises(Exception):
         to_json_schema(spec, version=5)
@@ -149,6 +156,90 @@ def test_every_version_round_trips_semantics(version):
     assert isinstance(props["tup"].type, TupleT) \
         and len(props["tup"].type.items) == 2
     assert back.root.dep == (("s", ("c",)),)
+
+
+# ------------------------ propsets @one/@any/@all (sjot2js.js:339-383)
+
+PROPSET = {
+    "@root": "#T",
+    "T": {
+        "a?": "int", "b?": "int", "p?": "int", "q?": "int",
+        "m?": "int", "n?": "int", "y1?": "int", "y2?": "int",
+        "@one": [["a", "b"]],
+        "@any": [["y1", "y2"], ["p", "q"]],
+        "@all": [["m", "n"]],
+    },
+}
+
+
+def test_propset_emission_and_round_trip():
+    spec = CheckSpec(PROPSET)
+    for version in (4, 7):
+        js = to_json_schema(spec, version=version)
+        # single @one rides on the object's own oneOf
+        assert js["oneOf"] == [{"required": ["a"]}, {"required": ["b"]}]
+        # two @any propsets each wrap in an allOf member
+        assert {"anyOf": [{"required": ["y1"]}, {"required": ["y2"]}]} \
+            in js["allOf"]
+        assert {"anyOf": [{"required": ["p"]}, {"required": ["q"]}]} \
+            in js["allOf"]
+        assert {"oneOf": [
+            {"required": ["m", "n"]},
+            {"not": {"anyOf": [{"required": ["m"]}, {"required": ["n"]}]}},
+        ]} in js["allOf"]
+        back = from_json_schema(js, root_name="T")
+        back.check()
+        assert back.root.one == (("a", "b"),)
+        assert back.root.any == (("y1", "y2"), ("p", "q"))
+        assert back.root.all == (("m", "n"),)
+    # draft-03: no combinators at all (reference emits them only v>=4)
+    v3 = to_json_schema(spec, version=3)
+    assert "oneOf" not in v3 and "anyOf" not in v3 and "allOf" not in v3
+
+
+def test_propset_multi_one_wraps_in_allof():
+    spec = CheckSpec({"@root": "#T", "T": {
+        "a?": "int", "b?": "int", "c?": "int", "d?": "int",
+        "@one": [["a", "b"], ["c", "d"]]}})
+    js = to_json_schema(spec, version=4)
+    assert "oneOf" not in js
+    assert {"oneOf": [{"required": ["a"]}, {"required": ["b"]}]} in js["allOf"]
+    assert {"oneOf": [{"required": ["c"]}, {"required": ["d"]}]} in js["allOf"]
+    back = from_json_schema(js, root_name="T")
+    assert back.root.one == (("a", "b"), ("c", "d"))
+    assert not back.root.all
+
+
+_S2J_DRIVER = r"""
+const fs = require("fs");
+const code = fs.readFileSync("/root/reference/dev/sjot2js.js", "utf8");
+(0,eval)(code + "\nglobalThis.SJOT2JS = SJOT2JS;");
+const inp = JSON.parse(fs.readFileSync(0, "utf8"));
+console.log(JSON.stringify(inp.versions.map(
+  v => SJOT2JS.toJSONSchema(inp.schema, v))));
+"""
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node not installed")
+def test_propset_emission_matches_reference():
+    """Byte-level parity of the propset subtrees (and properties) with
+    the ACTUAL reference emitter run under node, per version."""
+    import subprocess
+
+    r = subprocess.run(
+        [shutil.which("node"), "-e", _S2J_DRIVER],
+        input=json.dumps({"schema": PROPSET, "versions": [3, 4]}).encode(),
+        capture_output=True, check=True)
+    ref_v3, ref_v4 = json.loads(r.stdout)
+    spec = CheckSpec(PROPSET)
+    ours_v4 = to_json_schema(spec, version=4)
+    theirs = ref_v4["definitions"]["T"]
+    for key in ("oneOf", "anyOf", "allOf"):
+        assert ours_v4.get(key) == theirs.get(key), key
+    assert ours_v4["properties"] == theirs["properties"]
+    # draft-03: the reference omits combinators entirely, and so do we
+    assert all(k not in ref_v3["definitions"]["T"]
+               for k in ("oneOf", "anyOf", "allOf"))
 
 
 def test_nested_object_required_survives_round_trip():

@@ -131,6 +131,34 @@ def test_bucketed_table_makes_uniqueness_shuffle_free(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS seq_bucketed_test")
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a pure projection over literal
+    centroids — no Exchange, no Window, no Join in the corpus subtree
+    (round-2 finding: a Window.partitionBy(id) argmax forced a
+    full-corpus shuffle on real sources). The full hash-seeded
+    pipeline may shuffle exactly once: the final per-query top-k over
+    the pruned candidate set."""
+    from sjot_spark.datapipe.ivf import (
+        _assign_cell, _seed_lits, ann_ivf_hashseed, collect_hash_seeds,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = _seed_lits(collect_hash_seeds(emb, "vec_id", "embedding", 8),
+                       cast_type=dict(emb.dtypes)["embedding"])
+    assigned = emb.select(
+        "vec_id", "embedding",
+        _assign_cell(F.col("embedding"), seeds).alias("cell"))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+    full = ann_ivf_hashseed(emb, "vec_id", "embedding", [0, 1, 2],
+                            k=5, nlist=8, nprobe=3)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert fplan.count("Exchange hashpartitioning") == 1, fplan
+    assert "BroadcastHashJoin" in fplan, fplan
+
+
 def test_element_null_scan_elided_when_schema_guarantees(spark):
     """containsNull=False (Iceberg `element: required` analog) must
     compile the token element check WITHOUT the null-scan traversal
