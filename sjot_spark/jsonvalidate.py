@@ -1,0 +1,389 @@
+"""Per-row JSON document validation over a string column — the engine
+analog of the reference's core entry point ``SJOT.validate(JSON.parse(s))``
+(index.js:28-59) where every ROW carries its own JSON value, including
+the depth-1 runtime union try/catch (index.js:760-909) that fixed-schema
+columnar tables cannot express (COVERAGE.md C6 design limit, now lifted
+for JSON/VARIANT columns).
+
+Spark-first design: the document is parsed ONCE per row into a Spark 4
+VARIANT (``try_parse_json`` — binary variant encoding, JVM-side), and
+every check is a Column expression over ``try_variant_get`` /
+``schema_of_variant``:
+
+- runtime type tag      ``schema_of_variant(sub)`` canonicalized to the
+                        reference's typeof classes (boolean / number /
+                        string / array / object / null; JS has one
+                        "number" class, index.js:801-846 — integer-ness
+                        is a VALUE property, ``data % 1 == 0``)
+- missing vs JSON null  SQL NULL from ``variant_get`` on an absent key
+                        vs VOID tag for a present ``null``
+- union dispatch        OR over full member predicates == the
+                        reference's try-each-member-in-order semantics
+                        (first success wins; order only matters for
+                        WHICH member matched, reported by
+                        ``union_dispatch_index``)
+
+No Python UDFs anywhere: the whole validation is one whole-stage-codegen
+projection per row, and violations use the same
+filter-before-explode shape as ValidationEngine._row_violations so
+passing rows contribute nothing.
+
+At 100 TB this is the path for semi-structured sidecar columns
+(``props``-style JSON): one variant parse amortizes across all checks,
+the projection pipelines with the scan, and nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_, or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sjot_spark.compiler import range_pred
+from sjot_spark.errors import SpecError
+from sjot_spark.spec.spec import CheckSpec
+from sjot_spark.spec.typestr import (
+    FORMAT_REGEX,
+    ArrayOf,
+    CharLen,
+    ObjectT,
+    Primitive,
+    Range,
+    Ref,
+    Regex,
+    SizedInt,
+    Tuple,
+    TypeNode,
+    UnionT,
+)
+
+
+# ------------------------------------------------------------ type tags
+
+def _canon_tag(sub: Column) -> Column:
+    """Canonical runtime type class of a variant value — the engine's
+    ``typeof`` (reference switch at index.js:786-846). NULL when the
+    value is absent (missing key)."""
+    s = F.upper(F.schema_of_variant(sub))
+    return (
+        F.when(sub.isNull(), F.lit(None).cast("string"))
+        .when(F.is_variant_null(sub), F.lit("null"))
+        .when(s.startswith("ARRAY"), F.lit("array"))
+        .when(s.startswith("OBJECT") | s.startswith("STRUCT")
+              | s.startswith("MAP"), F.lit("object"))
+        .when(s == "STRING", F.lit("string"))
+        .when(s == "BOOLEAN", F.lit("boolean"))
+        .when(s == "VOID", F.lit("null"))
+        .otherwise(F.lit("number"))  # TINYINT..BIGINT/DECIMAL/FLOAT/DOUBLE
+    )
+
+
+def _num(sub: Column) -> Column:
+    return F.try_variant_get(sub, "$", "double")
+
+
+def _str(sub: Column) -> Column:
+    return F.try_variant_get(sub, "$", "string")
+
+
+def _is_integral(c: Column) -> Column:
+    return c == F.floor(c)
+
+
+# ------------------------------------------------------- node predicate
+
+def _elem_pred_factory(node: TypeNode, resolve):
+    """Closure factory (CLAUDE.md rule: higher-order-function lambdas
+    must capture via closure, never default args — and must stay
+    unary for arity inspection)."""
+    def elem_ok(e: Column) -> Column:
+        return _vpred(node, e, _canon_tag(e), resolve)
+    return elem_ok
+
+
+def _vpred(t: TypeNode, sub: Column, tag: Column, resolve) -> Column:
+    """Pass-predicate for one type node over a variant sub-value.
+    Assumes the value is PRESENT (callers null-guard). Mirrors
+    compiler.scalar_pred, but where scalar_pred dispatches statically on
+    the column's one Spark type, this dispatches on the per-row tag —
+    the lifted version of the reference's typeof switch."""
+    while isinstance(t, Ref):
+        t = resolve(t.name)
+    if isinstance(t, Range):
+        # JSON numbers are one class: reference float-literal scan
+        # semantics apply per value (ranges.py), integral values take
+        # the int intervals, fractional the float prefix
+        return (tag == "number") & range_pred(t.spec, _num(sub), True)
+    if isinstance(t, SizedInt):
+        n = _num(sub)
+        return ((tag == "number") & _is_integral(n)
+                & (n >= F.lit(float(t.lo))) & (n <= F.lit(float(t.hi))))
+    if isinstance(t, Regex):
+        return (tag == "string") & _str(sub).rlike(t.anchored)
+    if isinstance(t, CharLen):
+        ln = F.length(_str(sub))
+        conds = [tag == F.lit("string")]
+        b = t.bounds
+        if b.exact:
+            conds.append(ln == F.lit(b.lo))
+        else:
+            if b.lo is not None:
+                conds.append(ln >= F.lit(b.lo))
+            if b.hi is not None:
+                conds.append(ln <= F.lit(b.hi))
+        return reduce(and_, conds)
+    if isinstance(t, ArrayOf):
+        conds = [tag == F.lit("array")]
+        b = t.bounds
+        if not b.unbounded:
+            ln = F.size(F.try_variant_get(sub, "$", "array<variant>"))
+            if b.exact:
+                conds.append(ln == F.lit(b.lo))
+            else:
+                if b.lo is not None:
+                    conds.append(ln >= F.lit(b.lo))
+                if b.hi is not None:
+                    conds.append(ln <= F.lit(b.hi))
+        item = t.item
+        while isinstance(item, Ref):
+            item = resolve(item.name)
+        if not (isinstance(item, Primitive) and item.name == "any"):
+            elems = F.try_variant_get(sub, "$", "array<variant>")
+            conds.append(F.forall(elems, _elem_pred_factory(item, resolve)))
+        return reduce(and_, conds)
+    if isinstance(t, Tuple):
+        elems = F.try_variant_get(sub, "$", "array<variant>")
+        conds = [tag == F.lit("array"), F.size(elems) == len(t.items)]
+        for i, it in enumerate(t.items):
+            e = F.get(elems, i)
+            conds.append(_vpred(it, e, _canon_tag(e), resolve))
+        return reduce(and_, conds)
+    if isinstance(t, ObjectT):
+        # shallow-plus-required for union members (the reference's
+        # object arm dispatches by discriminating prop, index.js:878-899);
+        # full recursive prop validation happens via path flattening in
+        # compile_json_checks for the root object
+        conds = [tag == F.lit("object")]
+        for p in t.props:
+            if not p.optional and not p.is_regex:
+                conds.append(
+                    F.try_variant_get(sub, f"$.{p.name}", "variant")
+                    .isNotNull())
+        return reduce(and_, conds)
+    if isinstance(t, UnionT):
+        # depth-1 try/catch: any member's FULL predicate passing
+        # validates the value (index.js:793-846)
+        return reduce(
+            or_, (_vpred(m, sub, tag, resolve) for m in t.members))
+    if isinstance(t, Primitive):
+        n = t.name
+        if n in FORMAT_REGEX:
+            return (tag == "string") & _str(sub).rlike(FORMAT_REGEX[n])
+        if n == "string":
+            return tag == F.lit("string")
+        if n == "char":
+            return (tag == "string") & (F.length(_str(sub)) == 1)
+        if n == "boolean":
+            return tag == F.lit("boolean")
+        if n in ("true", "false"):
+            return ((tag == "boolean")
+                    & (F.try_variant_get(sub, "$", "boolean")
+                       == F.lit(n == "true")))
+        if n == "integer":
+            return (tag == "number") & _is_integral(_num(sub))
+        if n in ("float", "double", "number"):
+            return tag == F.lit("number")
+        if n == "null":
+            return tag == F.lit("null")
+        if n == "atom":
+            return tag.isin("string", "number", "boolean")
+        if n == "object":
+            return tag == F.lit("object")
+        if n == "array":
+            return tag == F.lit("array")
+        if n == "any":
+            return F.lit(True)
+    raise SpecError(f"jsonvalidate: unsupported node {t!r}")
+
+
+# ----------------------------------------------------------- check list
+
+_CLASS_OF = [
+    (Range, "range"), (SizedInt, "range"), (Regex, "format"),
+    (CharLen, "len_bounds"), (ArrayOf, "array"), (Tuple, "tuple"),
+    (UnionT, "union"), (ObjectT, "object"),
+]
+
+
+def _check_class(t: TypeNode) -> str:
+    for cls, name in _CLASS_OF:
+        if isinstance(t, cls):
+            return name
+    return "type"
+
+
+def compile_json_checks(spec: CheckSpec, v: Column):
+    """Flatten the root object into path-addressed checks over the
+    parsed variant ``v``. Returns ``[(check_id, pass_col)]`` in
+    deterministic spec order. Check ids mirror the static compiler's
+    naming (``{path}_required`` / ``{path}_type`` / ``{path}_range`` …)
+    with ``.``-joined nested paths."""
+    root = spec.root
+    while isinstance(root, Ref):
+        root = spec.resolve(root.name)
+    checks: list[tuple[str, Column]] = []
+
+    def walk(obj: ObjectT, path: str, prefix: str):
+        for p in obj.props:
+            if p.is_regex:
+                raise SpecError(
+                    "jsonvalidate: regex property names need a "
+                    "closed-world object; not supported on open JSON")
+            ppath = f"{path}.{p.name}"
+            pid = f"{prefix}{p.name}"
+            sub = F.try_variant_get(v, ppath, "variant")
+            present = sub.isNotNull()
+            if not p.optional:
+                checks.append((f"{pid}_required", present))
+            node = p.type
+            while isinstance(node, Ref):
+                node = spec.resolve(node.name)
+            if isinstance(node, ObjectT):
+                # presence/type here, then recurse into nested props
+                checks.append((
+                    f"{pid}_type",
+                    F.when(~present, F.lit(True))
+                    .otherwise(_canon_tag(sub) == F.lit("object"))))
+                walk(node, ppath, f"{pid}.")
+                continue
+            tag = _canon_tag(sub)
+            cname = _check_class(node)
+            ok = _vpred(node, sub, tag, spec.resolve)
+            checks.append((
+                f"{pid}_{cname}",
+                F.when(~present, F.lit(True)).otherwise(ok)))
+        # object-level propsets (@one/@any/@all/@dep) over presence
+        def pres(name: str) -> Column:
+            return F.try_variant_get(v, f"{path}.{name}", "variant") \
+                .isNotNull()
+
+        for i, group in enumerate(obj.one):
+            n = reduce(
+                Column.__add__,
+                (pres(g).cast("int") for g in group))
+            checks.append((f"{prefix}one_{i}", n == 1))
+        for i, group in enumerate(obj.any):
+            checks.append(
+                (f"{prefix}any_{i}",
+                 reduce(or_, (pres(g) for g in group))))
+        for i, group in enumerate(obj.all):
+            n = reduce(
+                Column.__add__, (pres(g).cast("int") for g in group))
+            checks.append(
+                (f"{prefix}all_{i}", (n == 0) | (n == len(group))))
+        for name, needs in obj.dep:
+            checks.append((
+                f"{prefix}dep_{name}",
+                F.when(~pres(name), F.lit(True)).otherwise(
+                    reduce(and_, (pres(d) for d in needs)))))
+
+    if isinstance(root, ObjectT):
+        walk(root, "$", "")
+    else:
+        # scalar / union root: the whole document is the value
+        tag = _canon_tag(F.try_variant_get(v, "$", "variant"))
+        checks.append((
+            f"root_{_check_class(root)}",
+            _vpred(root, F.try_variant_get(v, "$", "variant"),
+                   tag, spec.resolve)))
+    return checks
+
+
+# ------------------------------------------------------------ operators
+
+def validate_json_column(
+    df: DataFrame,
+    json_col: str,
+    spec: CheckSpec | dict,
+    key: str,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Typed violation rows ``(key, partition, check_id, detail)`` for a
+    string column of JSON documents — same output contract as
+    ValidationEngine.run().violations (E1/E7). A document that fails to
+    parse yields exactly one ``{json_col}_parse`` violation and no
+    per-path noise (the reference throws on the first error of an
+    instance; we gate all path checks on parse success)."""
+    if not isinstance(spec, CheckSpec):
+        spec = CheckSpec(spec)
+    v = F.try_parse_json(F.col(json_col))
+    parsed = v.isNotNull() | F.col(json_col).isNull()
+    checks = [(f"{json_col}_parse", parsed)]
+    checks += [
+        (cid, F.when(~parsed, F.lit(True)).otherwise(c))
+        for cid, c in compile_json_checks(spec, v)
+    ]
+    part_col = (F.col(partition_by) if partition_by
+                else F.lit("_all")).cast("string")
+    all_pass = reduce(and_, (F.coalesce(c, F.lit(False)) for _, c in checks))
+    structs = [
+        F.struct(
+            F.lit(cid).alias("check_id"),
+            F.coalesce(c, F.lit(False)).alias("ok"),
+            F.when(~F.coalesce(c, F.lit(False)), F.format_string(
+                "$.%s violation in JSON document", F.lit(cid),
+            )).alias("detail"),
+        )
+        for cid, c in checks
+    ]
+    fails = F.filter(F.array(*structs), lambda s: ~s.getField("ok"))
+    return (
+        df.where(~all_pass)
+        .select(
+            F.col(key).cast("string").alias("key"),
+            part_col.alias("partition"),
+            F.explode(fails).alias("vx"),
+        )
+        .select("key", "partition", "vx.check_id", "vx.detail")
+    )
+
+
+def union_dispatch_index(
+    df: DataFrame,
+    json_col: str,
+    spec: CheckSpec | dict,
+    prop: str,
+    key: str,
+) -> DataFrame:
+    """Which union member validated each row's ``prop`` value —
+    1-based FIRST match in member order (the reference tries members in
+    declaration order and the first success returns,
+    index.js:793-846); 0 = no member matched (the union error path).
+    Returns ``(key, member)``."""
+    if not isinstance(spec, CheckSpec):
+        spec = CheckSpec(spec)
+    root = spec.root
+    while isinstance(root, Ref):
+        root = spec.resolve(root.name)
+    p = root.prop(prop) if isinstance(root, ObjectT) else None
+    if p is None:
+        raise SpecError(f"no property {prop!r} in root object")
+    node = p.type
+    while isinstance(node, Ref):
+        node = spec.resolve(node.name)
+    if not isinstance(node, UnionT):
+        raise SpecError(f"property {prop!r} is not a union")
+    v = F.try_parse_json(F.col(json_col))
+    sub = F.try_variant_get(v, f"$.{prop}", "variant")
+    tag = _canon_tag(sub)
+    expr = F.lit(0)
+    for i in range(len(node.members) - 1, -1, -1):
+        m = _vpred(node.members[i], sub, tag, spec.resolve)
+        expr = F.when(F.coalesce(m, F.lit(False)), F.lit(i + 1)) \
+            .otherwise(expr)
+    return df.select(
+        F.col(key).cast("string").alias("key"),
+        F.when(sub.isNull(), F.lit(-1)).otherwise(expr).alias("member"),
+    )

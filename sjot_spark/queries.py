@@ -1627,3 +1627,307 @@ ORACLES.update({
     "validate_all_features": _oracle_all_features(),
     "unique_violations": ORACLE_UNIQUE,
 })
+
+# ------------------------------------------- per-row JSON validation
+# (jsonvalidate.py: the reference's SJOT.validate over per-row JSON
+# documents, incl. depth-1 runtime union try/catch — index.js:760-909.)
+# The JSON column is synthesized deterministically from doc_id by
+# IDENTICAL string concatenation in both engines, so the oracle
+# exercises DuckDB's real JSON parser/typeof against Spark's variant
+# path: strings, decimals, integers, booleans, a missing prop, a
+# truncated (unparseable) document — heterogeneous per-row runtime
+# types that a fixed-schema column cannot hold.
+
+JSON_DOC_SPEC = {
+    "@root": "#JDoc",
+    "JDoc": {
+        "id": "0..",
+        "val": [["0.0..80.0", "(v\\d{1,3})"]],  # number-range | string
+        "tag": "(t\\d)",
+        "meta": {"w": "0..25"},
+    },
+}
+
+
+def _json_doc_col():
+    """{"id":D,"val":V,"tag":"tK","meta":{"w":W}} with V cycling
+    string / decimal / integer / boolean on doc_id % 7; doc_id % 11 == 0
+    drops tag (required violation), % 23 == 0 uppercases it (format
+    violation), % 17 == 0 truncates the document (parse violation)."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    val = (
+        F.when(d % 7 < 2,
+               F.concat(F.lit('"v'), s(d % 1500), F.lit('"')))
+        .when(d % 7 < 4,
+              F.concat(s(F.floor((d % 400) / 4).cast("long")),
+                       F.lit("."), s((d % 4) * 25)))
+        .when(d % 7 < 6, s(d % 120))
+        .otherwise(F.when(d % 2 == 0, F.lit("true"))
+                   .otherwise(F.lit("false")))
+    )
+    tagpart = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(',"tag":"'),
+                 F.when(d % 23 == 0, F.lit("T")).otherwise(F.lit("t")),
+                 s(d % 5), F.lit('"')))
+    head = F.concat(F.lit('{"id":'), s(d), F.lit(',"val":'))
+    full = F.concat(head, val, tagpart,
+                    F.lit(',"meta":{"w":'), s(d % 30), F.lit("}}"))
+    return F.when(d % 17 == 0, head).otherwise(full)
+
+
+_SQL_JSON_DOC = """
+CASE WHEN doc_id % 17 = 0 THEN '{"id":' || doc_id::VARCHAR || ',"val":'
+ELSE '{"id":' || doc_id::VARCHAR || ',"val":'
+  || CASE
+       WHEN doc_id % 7 < 2 THEN '"v' || (doc_id % 1500)::VARCHAR || '"'
+       WHEN doc_id % 7 < 4 THEN ((doc_id % 400) // 4)::VARCHAR || '.'
+                                || ((doc_id % 4) * 25)::VARCHAR
+       WHEN doc_id % 7 < 6 THEN (doc_id % 120)::VARCHAR
+       ELSE CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+     END
+  || CASE WHEN doc_id % 11 = 0 THEN ''
+          ELSE ',"tag":"' || CASE WHEN doc_id % 23 = 0 THEN 'T'
+                                  ELSE 't' END
+               || (doc_id % 5)::VARCHAR || '"' END
+  || ',"meta":{"w":' || (doc_id % 30)::VARCHAR || '}}'
+END
+"""
+
+# DuckDB's typeof classes for the union members (json_type: BIGINT/
+# UBIGINT/DOUBLE are the one JS "number" class; VARCHAR = string)
+_SQL_VAL_NUM = ("json_type(doc,'$.val') IN ('BIGINT','UBIGINT','DOUBLE')"
+                " AND TRY_CAST(json_extract_string(doc,'$.val') AS DOUBLE)"
+                " BETWEEN 0.0 AND 80.0")
+_SQL_VAL_STR = ("json_type(doc,'$.val') = 'VARCHAR' AND regexp_full_match("
+                "json_extract_string(doc,'$.val'), 'v\\d{1,3}')")
+
+
+def q_json_validate(spark, sf_dir):
+    from sjot_spark import jsonvalidate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", _json_doc_col().alias("doc"))
+    return jsonvalidate.validate_json_column(
+        docs, "doc", JSON_DOC_SPEC, key="doc_id", partition_by="source",
+    ).select("key", F.col("partition").alias("part"), "check_id")
+
+
+ORACLE_JSON_VALIDATE = f"""
+WITH j AS (SELECT doc_id, source, ({_SQL_JSON_DOC}) AS doc FROM documents),
+p AS (SELECT doc_id, source, doc, json_valid(doc) AS ok FROM j)
+SELECT CAST(doc_id AS VARCHAR) AS key, source AS part,
+       'doc_parse' AS check_id
+FROM p WHERE NOT ok
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), source, 'val_union'
+FROM p WHERE ok AND NOT (({_SQL_VAL_NUM}) OR ({_SQL_VAL_STR}))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), source, 'tag_required'
+FROM p WHERE ok AND json_type(doc, '$.tag') IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), source, 'tag_format'
+FROM p WHERE ok AND json_type(doc, '$.tag') IS NOT NULL
+  AND NOT (json_type(doc, '$.tag') = 'VARCHAR' AND regexp_full_match(
+        json_extract_string(doc, '$.tag'), 't\\d'))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), source, 'meta.w_range'
+FROM p WHERE ok AND NOT (
+    json_type(doc, '$.meta.w') IN ('BIGINT','UBIGINT')
+    AND TRY_CAST(json_extract_string(doc, '$.meta.w') AS BIGINT)
+        BETWEEN 0 AND 25)
+"""
+
+
+def q_json_union_dispatch(spark, sf_dir):
+    from sjot_spark import jsonvalidate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _json_doc_col().alias("doc"))
+    docs = docs.where(F.try_parse_json(F.col("doc")).isNotNull())
+    return (
+        jsonvalidate.union_dispatch_index(
+            docs, "doc", JSON_DOC_SPEC, "val", key="doc_id")
+        .groupBy("member")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_JSON_DISPATCH = f"""
+WITH j AS (SELECT doc_id, ({_SQL_JSON_DOC}) AS doc FROM documents),
+p AS (SELECT doc_id, doc FROM j WHERE json_valid(doc)),
+m AS (SELECT CASE WHEN {_SQL_VAL_NUM} THEN 1
+                  WHEN {_SQL_VAL_STR} THEN 2
+                  ELSE 0 END AS member
+      FROM p)
+SELECT member, COUNT(*) AS n FROM m GROUP BY member
+"""
+
+QUERIES.update({
+    "json_validate": q_json_validate,
+    "json_union_dispatch": q_json_union_dispatch,
+})
+ORACLES.update({
+    "json_validate": ORACLE_JSON_VALIDATE,
+    "json_union_dispatch": ORACLE_JSON_DISPATCH,
+})
+
+
+# ----------------------------------------------- TPC-H completion set
+# (sjot_spark/tpch2.py: q2/q7/q8/q9/q11/q15/q16/q17/q18/q20/q21 —
+# the full 22-query relational surface)
+
+from sjot_spark.tpch2 import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH2_QUERIES)
+ORACLES.update(TPCH2_ORACLES)
+
+
+# ------------------------------------------- dedup clustering (CC)
+# (datapipe/cluster.py: transitive closure of near-dup pairs.) The
+# edge list is synthesized deterministically from doc_id in BOTH
+# engines — stars of 5 consecutive ids (d → d−d%5) plus a bridge
+# (d → d+5) every 35th id, so components require MULTI-HOP label
+# propagation to close — and the oracle computes the same components
+# with a recursive CTE.
+
+def q_dedup_clusters(spark, sf_dir):
+    from sjot_spark.datapipe.cluster import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    stars = docs.select(d.alias("a"), (d - d % 5).alias("b"))
+    bridges = (
+        docs.where(d % 35 == 0)
+        .select(d.alias("a"), (d + 5).alias("b"))
+        .join(docs.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    )
+    comp = connected_components(stars.union(bridges), a="a", b="b")
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > 5)  # only the bridged (multi-hop) ones
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH e0 AS (
+  SELECT doc_id AS a, doc_id - (doc_id % 5) AS b FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 5 FROM documents
+  WHERE doc_id % 35 = 0
+    AND (doc_id + 5) IN (SELECT doc_id FROM documents)),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+reach AS (
+  WITH RECURSIVE r(v, u) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT r.v, e.b FROM r JOIN e ON r.u = e.a)
+  SELECT v, u FROM r),
+cc AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, COUNT(*) AS size FROM cc GROUP BY cluster_id
+HAVING COUNT(*) > 5
+"""
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
+
+
+# ------------------------------------------------------- as-of join
+# (plan/asof.py: union-sort backward as-of join; the DuckDB twin uses
+# the engine-independent native ASOF LEFT JOIN — two different
+# formulations of the same semantics, the strongest oracle kind.)
+
+def q_events_asof(spark, sf_dir):
+    from sjot_spark.plan.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    return asof_join(
+        clicks, views, on="user_id", ts="ts", value_cols=["view_id"],
+        left_cols=["user_id", "ts", "event_id"],
+    ).select(F.col("event_id").alias("click_id"), "view_id")
+
+
+ORACLE_EVENTS_ASOF = """
+WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+clicks AS (SELECT user_id, ts, event_id
+           FROM events WHERE event_type = 'click')
+SELECT c.event_id AS click_id, v.view_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+QUERIES["events_asof"] = q_events_asof
+ORACLES["events_asof"] = ORACLE_EVENTS_ASOF
+
+
+# --------------------------------------------- packing + sampling
+# (datapipe/pack.py: greedy concat-stream sequence packing and
+# deterministic md5 sampling — training-pipeline layout ops.)
+
+def q_pack_stats(spark, sf_dir):
+    from sjot_spark.datapipe.pack import pack_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_stats(docs, group="source", order="doc_id",
+                      length="n_chars", budget=1000)
+
+
+ORACLE_PACK_STATS = """
+WITH packed AS (
+  SELECT source, n_chars,
+         (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_chars)::BIGINT AS off
+  FROM documents)
+SELECT source, (off // 1000)::BIGINT AS bin,
+       COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS len_sum
+FROM packed GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from sjot_spark.datapipe.pack import stratified_take
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_take(docs, group="source", key="doc_id", n=5)
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 5
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    from sjot_spark.datapipe.pack import hash_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_sample(docs, key="doc_id", k=7)
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 7 = 0
+"""
+
+QUERIES.update({
+    "pack_stats": q_pack_stats,
+    "stratified_sample": q_stratified_sample,
+    "hash_sample": q_hash_sample,
+})
+ORACLES.update({
+    "pack_stats": ORACLE_PACK_STATS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "hash_sample": ORACLE_HASH_SAMPLE,
+})

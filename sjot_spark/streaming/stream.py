@@ -63,6 +63,27 @@ def run_foreach_batch(
     return writer.start()
 
 
+def dedup_stream(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch streaming deduplication: keep the first arrival of
+    each key within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). This is the upstream half of
+    stream-scale key uniqueness (A5 at stream time): state is bounded
+    by the watermark — keys older than the horizon are evicted, so
+    state size is O(distinct keys per horizon), not O(stream) — and
+    the periodic batch reconciliation over the sink (the batch
+    engine's ``_unique_violations``) catches anything beyond it. The
+    returned stream is append-mode sink-able."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
 def run_drift_monitor(
     engine: ValidationEngine,
     sdf: DataFrame,

@@ -1,0 +1,53 @@
+"""Connected-components dedup clustering (datapipe/cluster.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sjot_spark.datapipe.cluster import cluster_near_dups, connected_components
+
+
+def _cc(spark, edges, max_iter=20):
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = connected_components(df, max_iter=max_iter).collect()
+    return {r.v: r.cluster_id for r in rows}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_multi_hop_chain(spark):
+    # a 7-node chain needs several propagation rounds to converge
+    got = _cc(spark, [(i, i + 1) for i in range(1, 7)])
+    assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_self_loops_and_duplicate_edges(spark):
+    got = _cc(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_bridge_merges_stars(spark):
+    # two stars joined by one bridge: min label crosses the bridge
+    edges = [(1, 2), (1, 3), (10, 11), (10, 12), (3, 10)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+
+
+def test_cluster_near_dups_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight!"),
+            (3, "the quick brown fox jumps over the lazy dog tonight!!"),
+            (4, "completely different content about spark engines"),
+            (5, "yet another unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cluster_near_dups(docs, verify_threshold=0.5).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+    # 1/2/3 are near-dups (transitively), 4 and 5 are singletons
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4 and got[5] == 5

@@ -1,0 +1,165 @@
+"""Per-row JSON validation (jsonvalidate.py): unit semantics plus
+executable verdict-parity against the ACTUAL reference validator under
+node — the same documents, the same SJOT schema, SJOT.valid() vs
+"no violations for that key" (index.js:64-76). The reference is an
+oracle only; no code is copied."""
+
+import json
+import shutil
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from sjot_spark.jsonvalidate import (
+    union_dispatch_index,
+    validate_json_column,
+)
+from sjot_spark.queries import JSON_DOC_SPEC
+
+node = shutil.which("node")
+
+# (key, raw JSON text) — heterogeneous runtime types per row, the case
+# fixed-schema columns cannot express
+DOCS = [
+    (0, '{"id":0,"val":12,"tag":"t1","meta":{"w":3}}'),        # clean int
+    (1, '{"id":1,"val":"v12","tag":"t2","meta":{"w":0}}'),     # clean str
+    (2, '{"id":2,"val":12.5,"tag":"t3","meta":{"w":25}}'),     # clean float
+    (3, '{"id":3,"val":80.25,"tag":"t4","meta":{"w":1}}'),     # >80 -> union
+    (4, '{"id":4,"val":"v1000","tag":"t0","meta":{"w":2}}'),   # 4 digits
+    (5, '{"id":5,"val":true,"tag":"t1","meta":{"w":3}}'),      # bool -> union
+    (6, '{"id":6,"val":7,"meta":{"w":4}}'),                    # tag missing
+    (7, '{"id":7,"val":8,"tag":"T9","meta":{"w":5}}'),         # tag format
+    (8, '{"id":8,"val":9,"tag":"t1","meta":{"w":29}}'),        # w > 25
+    (9, '{"id":9,"val":'),                                     # truncated
+    (10, '{"id":10,"val":null,"tag":"t1","meta":{"w":6}}'),    # null -> union
+    (11, '{"id":11,"val":[1,2],"tag":"t1","meta":{"w":7}}'),   # array -> union
+    (12, '{"id":12,"val":0,"tag":"t1","meta":{"w":8}}'),       # boundary lo
+    (13, '{"id":13,"val":80.0,"tag":"t1","meta":{"w":9}}'),    # boundary hi
+    (14, '{"id":14,"val":"v0","tag":"t1","meta":{}}'),         # w missing
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, doc string")
+
+
+def _violations(spark, docs_df):
+    rows = validate_json_column(
+        docs_df, "doc", JSON_DOC_SPEC, key="doc_id").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(int(r.key), set()).add(r.check_id)
+    return out
+
+
+def test_violation_classes(spark, docs_df):
+    v = _violations(spark, docs_df)
+    assert set(v.get(3, ())) == {"val_union"}
+    assert set(v.get(4, ())) == {"val_union"}
+    assert set(v.get(5, ())) == {"val_union"}
+    assert set(v.get(6, ())) == {"tag_required"}
+    assert set(v.get(7, ())) == {"tag_format"}
+    assert set(v.get(8, ())) == {"meta.w_range"}
+    assert set(v.get(9, ())) == {"doc_parse"}
+    assert set(v.get(10, ())) == {"val_union"}
+    assert set(v.get(11, ())) == {"val_union"}
+    assert set(v.get(14, ())) == {"meta.w_required"}
+    for k in (0, 1, 2, 12, 13):
+        assert k not in v, f"doc {k} should be clean: {v.get(k)}"
+
+
+def test_union_dispatch_first_match_order(spark):
+    # overlapping members: 1..10 ⊂ 0.. — first match in declaration
+    # order wins, exactly the reference's try-each-in-order
+    # (index.js:793-846)
+    spec = {"@root": "#T", "T": {"val": [["1..10", "0.."]]}}
+    df = spark.createDataFrame(
+        [(1, '{"val":5}'), (2, '{"val":20}'), (3, '{"val":-1}'),
+         (4, '{}'), (5, '{"val":"x"}')],
+        "doc_id long, doc string")
+    got = {int(r.key): r.member for r in
+           union_dispatch_index(df, "doc", spec, "val", "doc_id").collect()}
+    assert got == {1: 1, 2: 2, 3: 0, 4: -1, 5: 0}
+
+
+def test_scalar_and_array_members(spark):
+    # union over string / typed array — runtime tag dispatch incl.
+    # per-element checks on the variant array
+    spec = {"@root": "#T", "T": {"v": [["(a+)", "1..5[2,3]"]]}}
+    df = spark.createDataFrame(
+        [(1, '{"v":"aaa"}'), (2, '{"v":[1,2]}'), (3, '{"v":[1,9]}'),
+         (4, '{"v":[1]}'), (5, '{"v":[2,3,4]}'), (6, '{"v":"b"}')],
+        "doc_id long, doc string")
+    viol = {int(r.key) for r in validate_json_column(
+        df, "doc", spec, key="doc_id").collect()}
+    assert viol == {3, 4, 6}
+
+
+@pytest.mark.skipif(node is None, reason="node not installed")
+def test_reference_verdict_parity(spark, docs_df):
+    driver = r"""
+const SJOT = require("/root/reference/index.js");
+const input = JSON.parse(require("fs").readFileSync(0, "utf8"));
+const out = input.docs.map(raw => {
+  try { return SJOT.valid(JSON.parse(raw), "#JDoc", input.schema); }
+  catch (e) { return false; }
+});
+console.log(JSON.stringify(out));
+"""
+    schema = {k: v for k, v in JSON_DOC_SPEC.items() if k != "@table"}
+    p = subprocess.run(
+        [node, "-e", driver],
+        input=json.dumps(
+            {"docs": [d for _, d in DOCS], "schema": schema}).encode(),
+        capture_output=True, check=True)
+    ref = json.loads(p.stdout)
+    bad = set(_violations(spark, docs_df))
+    ours = [k not in bad for k, _ in DOCS]
+    assert ours == ref, list(zip([k for k, _ in DOCS], ours, ref))
+
+
+def test_propsets_over_json_presence(spark):
+    spec = {
+        "@root": "#T",
+        "T": {
+            "p?": "number", "q?": "number", "m?": "number",
+            "n?": "number", "d?": "number", "e?": "number",
+            "@one": [["p", "q"]],
+            "@dep": {"d": ["e"]},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, '{"p":1}'), (2, '{"p":1,"q":2}'), (3, '{}'),
+         (4, '{"q":2,"d":1,"e":2}'), (5, '{"p":1,"d":1}')],
+        "doc_id long, doc string")
+    rows = validate_json_column(df, "doc", spec, key="doc_id").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(int(r.key), set()).add(r.check_id)
+    assert 1 not in got
+    assert got[2] == {"one_0"}          # both of @one present
+    assert got[3] == {"one_0"}          # neither present
+    assert 4 not in got                 # q + complete @dep
+    assert got[5] == {"dep_d"}          # d without e
+
+
+def test_column_backed_validation_stays_in_codegen(spark, tmp_path):
+    """The at-scale shape — JSON read from storage as a string column —
+    must survive whole-stage codegen with fallback DISABLED (the
+    variant parse is CSE'd; janino limits are only hit when a huge
+    doc-SYNTHESIS expression is fused into every check, as in the
+    driver oracle query, which falls back to interpreted eval and is
+    correctness-only)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, doc string")
+    p = str(tmp_path / "jv")
+    df.write.parquet(p)
+    col_backed = spark.read.parquet(p)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = validate_json_column(
+            col_backed, "doc", JSON_DOC_SPEC, key="doc_id").collect()
+        assert {r.check_id for r in rows} >= {"doc_parse", "val_union"}
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")

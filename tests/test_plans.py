@@ -192,3 +192,20 @@ def test_element_null_scan_elided_when_schema_guarantees(spark):
     plan2 = eng2._flags_df(df2, eng2.compile(df2)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "isnotnull(lambda" in plan2 or "array_compact" in plan2
+
+
+def test_json_validation_is_shuffle_free(spark):
+    """validate_json_column must compile to ONE projection pipeline:
+    variant parse + all runtime-type checks + filter-before-explode,
+    no Exchange anywhere (jsonvalidate.py design contract)."""
+    from sjot_spark.jsonvalidate import validate_json_column
+    from sjot_spark.queries import JSON_DOC_SPEC
+
+    df = spark.createDataFrame(
+        [(1, '{"id":1,"val":3,"tag":"t1","meta":{"w":2}}')],
+        "doc_id long, doc string")
+    plan = (validate_json_column(df, "doc", JSON_DOC_SPEC, key="doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    # one pipeline, not a join of per-check subplans
+    assert "Join" not in plan

@@ -3,6 +3,7 @@ file-source micro-batches through foreachBatch full validation, and a
 pure streaming projection for row-level violations."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from sjot_spark.engine import ValidationEngine
 from sjot_spark.fixtures import (
@@ -154,3 +155,36 @@ def test_streaming_drift_monitor(spark, tmp_path):
     assert len(by_batch) == 2
     verdict_sets = sorted(tuple(sorted(set(v))) for v in by_batch.values())
     assert verdict_sets == [("fail",), ("pass",)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival of each
+    key across micro-batches; state is bounded by the watermark."""
+    from sjot_spark.streaming.stream import dedup_stream
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:00:10"),
+         ("a", "2024-01-01 00:00:15")], "doc_id string, ts_s string",
+    ).select("doc_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:01:00"), ("c", "2024-01-01 00:01:30")],
+        "doc_id string, ts_s string",
+    ).select("doc_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("doc_id string, ts timestamp")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    q = (dedup_stream(sdf, ["doc_id"], "ts", watermark="10 minutes")
+         .writeStream.format("memory").queryName("dedupmem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in
+                 spark.sql("select doc_id from dedupmem").collect())
+    # each key survives exactly once despite in-batch and cross-batch dups
+    assert got == ["a", "b", "c"]
