@@ -99,6 +99,9 @@ DRIVER_QUERIES = [
     "validate_violations", "text_profile", "exact_dedup_stats",
     "ngram_jaccard", "minhash_lsh", "knn_cosine", "sessionization",
     "tpch_q1", "tpch_q3", "tpch_q5",
+    # round 3: per-row JSON validation (variant), CC clustering,
+    # as-of join — suite total grows accordingly vs BENCH_r02
+    "json_validate", "dedup_clusters", "events_asof",
 ]
 
 

@@ -149,16 +149,24 @@ def drift_test(
         exp = np.array([base.get((g, b), 0) for b in buckets], dtype=np.float64)
         if clause.test == "chi2":
             stat, p, dof = stats.chi2_test(obs, exp)
+            verdict = "pass" if p >= clause.alpha else "fail"
+        elif clause.test == "psi":
+            # PSI is a divergence with industry thresholds, not a
+            # p-value: alpha is the PSI fail threshold here
+            stat, dof = stats.psi_from_hist(obs, exp), None
+            p = None
+            verdict = "pass" if stat <= clause.alpha else "fail"
         else:
             stat, p = stats.ks_2samp_from_hist(obs, exp)
             dof = None
+            verdict = "pass" if p >= clause.alpha else "fail"
         out.append({
             "check_id": clause.name,
             "group": g,
             "test": clause.test,
             "stat": float(stat),
-            "pvalue": float(p),
+            "pvalue": None if p is None else float(p),
             "dof": dof,
-            "verdict": "pass" if p >= clause.alpha else "fail",
+            "verdict": verdict,
         })
     return out

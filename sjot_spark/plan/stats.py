@@ -129,3 +129,21 @@ def ks_2samp_from_hist(
     ne = n1 * n2 / (n1 + n2)
     lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
     return d, ks_tail(lam)
+
+
+def psi_from_hist(
+    observed: np.ndarray, expected: np.ndarray, eps: float = 1e-6
+) -> float:
+    """Population Stability Index over binned data:
+    PSI = sum (p_obs - p_exp) * ln(p_obs / p_exp), proportions floored
+    at ``eps`` so empty buckets contribute a large-but-finite term.
+    Industry thresholds: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted — the drift clause's ``alpha`` is the PSI fail threshold
+    for this test (not a p-value)."""
+    o = np.asarray(observed, dtype=np.float64)
+    e = np.asarray(expected, dtype=np.float64)
+    if o.sum() == 0 or e.sum() == 0:
+        return 0.0
+    po = np.maximum(o / o.sum(), eps)
+    pe = np.maximum(e / e.sum(), eps)
+    return float(np.sum((po - pe) * np.log(po / pe)))

@@ -62,7 +62,7 @@ class DriftClause:
     column: str
     bucket_width: int
     group_by: str | None
-    test: str = "chi2"       # chi2 | ks
+    test: str = "chi2"       # chi2 | ks | psi (alpha = PSI threshold)
     alpha: float = 0.001
 
 
@@ -215,7 +215,7 @@ class CheckSpec:
         for d in drift:
             if d.kind not in ("length_histogram", "value_histogram"):
                 raise SpecError(f"unknown drift kind {d.kind}")
-            if d.test not in ("chi2", "ks"):
+            if d.test not in ("chi2", "ks", "psi"):
                 raise SpecError(f"unknown drift test {d.test}")
         return TableClauses(
             key=t.get("key"),

@@ -70,3 +70,93 @@ def duplicate_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = ("user_id long, session_start_ms long, "
+                         "session_end_ms long, n_events long")
+SESSION_STATE_SCHEMA = "start long, end long, n long"
+
+
+def session_stream(
+    sdf: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization with EVENT-TIME TIMEOUT — the
+    streaming twin of the batch `sessionization` query (same gap
+    rule): events for a user belong to one session while consecutive
+    gaps stay under ``gap_minutes``; a session is emitted when it
+    CLOSES, either because a later event in the same key opens the
+    next session, or because the watermark passes session_end + gap
+    (GroupStateTimeout.EventTimeTimeout — no more on-time events can
+    extend it). State per key is one open (start, end, n) triple —
+    O(active users), independent of stream length. Timestamps are
+    epoch millis (exact longs, no tz coupling)."""
+    from typing import Iterator as _Iter
+
+    gap_ms = gap_minutes * 60_000
+
+    def fn(
+        key, pdfs: _Iter[pd.DataFrame], state: GroupState
+    ) -> _Iter[pd.DataFrame]:
+        (uid,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [uid], "session_start_ms": [start],
+                "session_end_ms": [end], "n_events": [n]})
+            return
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf["_ts_ms"])
+        ts_all.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = ts_all[0], ts_all[0], 0
+        closed_s, closed_e, closed_n = [], [], []
+        for t in ts_all:
+            if t - end > gap_ms:
+                closed_s.append(start)
+                closed_e.append(end)
+                closed_n.append(n)
+                start, end, n = t, t, 1
+            else:
+                end, n = max(end, t), n + 1
+        wm = state.getCurrentWatermarkMs()
+        if end + gap_ms <= wm:
+            # the open session's horizon is already behind the
+            # watermark — no on-time event can extend it; close now
+            # (setTimeoutTimestamp below the watermark is an error)
+            closed_s.append(start)
+            closed_e.append(end)
+            closed_n.append(n)
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, end, n))
+            state.setTimeoutTimestamp(end + gap_ms)
+        yield pd.DataFrame({
+            "user_id": [uid] * len(closed_s),
+            "session_start_ms": closed_s,
+            "session_end_ms": closed_e,
+            "n_events": closed_n})
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col),
+            (F.unix_millis(F.col(ts_col))).alias("_ts_ms"),
+        )
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

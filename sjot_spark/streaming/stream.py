@@ -107,7 +107,9 @@ def run_drift_monitor(
         spark = batch_df.sparkSession
         rows = [
             (batch_id, r["check_id"], r["group"], r["test"],
-             float(r["stat"]), float(r["pvalue"]), r["verdict"])
+             float(r["stat"]),
+             None if r["pvalue"] is None else float(r["pvalue"]),
+             r["verdict"])
             for r in results
         ]
         spark.createDataFrame(

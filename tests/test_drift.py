@@ -5,6 +5,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sjot_spark.engine import ValidationEngine
 from sjot_spark.fixtures import SEQUENCE_SPEC, drifted_sequences, make_sequences
@@ -171,3 +172,50 @@ def test_value_histogram_formulations_agree_out_of_domain(spark):
     #                                   d3's nulls contribute NOTHING
     assert a[("s0", n_buckets - 1)] == 3   # the two 2^21s + 1<<20 clip up
     assert a[("s1", n_buckets - 1)] == 1   # INT_MAX clips up
+
+
+def test_psi_metric_and_thresholds():
+    import numpy as np
+
+    from sjot_spark.plan.stats import psi_from_hist
+
+    base = np.array([100, 200, 300, 400], dtype=float)
+    assert psi_from_hist(base, base) == 0.0
+    # mild shift stays under the 0.1 'stable' threshold
+    mild = np.array([110, 190, 310, 390], dtype=float)
+    assert 0 < psi_from_hist(mild, base) < 0.1
+    # gross shift blows past the 0.25 'shifted' threshold
+    gross = np.array([400, 300, 200, 100], dtype=float)
+    assert psi_from_hist(gross, base) > 0.25
+    # symmetric-ish divergence: order swap gives the same magnitude
+    assert abs(psi_from_hist(gross, base) - psi_from_hist(base, gross)) < 1e-9
+
+
+def test_drift_clause_psi_verdict(spark):
+    from sjot_spark.engine import ValidationEngine
+
+    spec = {
+        "@root": "#T",
+        "T": {"doc_id": "0..", "n": "0..200[]"},
+        "@table": {
+            "key": "doc_id",
+            "drift": {
+                "n_psi": {"kind": "value_histogram", "column": "n",
+                           "bucket_width": 10, "group_by": None,
+                           "test": "psi", "alpha": 0.25},
+            },
+        },
+    }
+    eng = ValidationEngine(spec)
+    base_df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.array(F.col("id") % 40).alias("n"))
+    # shifted current: mass moved into high buckets
+    cur_df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.array(F.col("id") % 40 + 60).alias("n"))
+    baselines = eng.profile(base_df)
+    same = eng.drift(base_df, baselines)
+    assert all(r["verdict"] == "pass" for r in same)
+    shifted = eng.drift(cur_df, baselines)
+    assert any(r["verdict"] == "fail" and r["test"] == "psi"
+               for r in shifted)
+    assert all(r["pvalue"] is None for r in shifted if r["test"] == "psi")

@@ -188,3 +188,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
                  spark.sql("select doc_id from dedupmem").collect())
     # each key survives exactly once despite in-batch and cross-batch dups
     assert got == ["a", "b", "c"]
+
+
+def test_streaming_sessionization_event_time_timeout(spark, tmp_path):
+    """session_stream: in-batch gap splits emit immediately; a session
+    left open in batch 1 closes via EventTimeTimeout once batch 2
+    advances the watermark past end + gap."""
+    from sjot_spark.streaming.stateful import session_stream
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    # batch 1 — user 1: two events 1 min apart (stays open);
+    # user 2: two events 3 h apart (first session closes in-batch)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:01:00"),
+         (2, "2024-01-01 00:00:00"), (2, "2024-01-01 03:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2 — a later event (any user) pushes the watermark to
+    # 02:00-10min, far past user 1's 00:01 end + 30 min gap
+    spark.createDataFrame(
+        [(3, "2024-01-01 02:00:00")], "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("user_id long, ts timestamp")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    q = (session_stream(sdf, "user_id", "ts", gap_minutes=30,
+                        watermark="10 minutes")
+         .writeStream.format("memory").queryName("sessmem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select * from sessmem order by user_id, session_start_ms"
+    ).collect()
+    got = [(r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+           for r in rows]
+    t0 = 1704067200000  # 2024-01-01 00:00:00 UTC
+    # user 1: closed by timeout (2 events, 1-min span);
+    # user 2: first event closed in-batch by the 3 h gap
+    assert (1, t0, t0 + 60_000, 2) in got
+    assert (2, t0, t0, 1) in got
