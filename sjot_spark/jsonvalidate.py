@@ -327,26 +327,54 @@ def validate_json_column(
     ]
     part_col = (F.col(partition_by) if partition_by
                 else F.lit("_all")).cast("string")
-    all_pass = reduce(and_, (F.coalesce(c, F.lit(False)) for _, c in checks))
-    structs = [
-        F.struct(
-            F.lit(cid).alias("check_id"),
-            F.coalesce(c, F.lit(False)).alias("ok"),
-            F.when(~F.coalesce(c, F.lit(False)), F.format_string(
-                "$.%s violation in JSON document", F.lit(cid),
-            )).alias("detail"),
-        )
-        for cid, c in checks
-    ]
-    fails = F.filter(F.array(*structs), lambda s: ~s.getField("ok"))
+    # Evaluation-cost shape (measured at 500k rows): Spark's
+    # subexpression elimination shares the variant parse/extract
+    # subtrees across expressions inside ProjectExec/FilterExec, but
+    # NOT inside a Generate (explode) input or a higher-order lambda —
+    # so the check set must be evaluated exactly once, in a Project.
+    # Stage 1 computes one boolean per check into an array (CSE
+    # applies: ~10 checks cost barely more than one); the
+    # monotonically_increasing_id barrier column is NONDETERMINISTIC,
+    # which stops CollapseProject and predicate pushdown from
+    # re-inlining the whole check set into downstream operators (each
+    # re-inlined copy would re-evaluate every variant chain without
+    # sharing — the naive shapes measured 6-25x slower). Stage 2
+    # filters and explodes FAIL INDICES off the tiny boolean array;
+    # check ids and details derive from a literal name array.
+    names = F.lit([cid for cid, _ in checks])
+    okarr = F.array(*[F.coalesce(c, F.lit(False)) for _, c in checks])
+    staged = df.select(
+        F.col(key).cast("string").alias("key"),
+        part_col.alias("partition"),
+        okarr.alias("_ok"),
+        F.monotonically_increasing_id().alias("_barrier"),
+    )
+    fail_idx = F.filter(
+        F.transform(F.col("_ok"),
+                    lambda x, i: F.when(x, F.lit(-1)).otherwise(i)),
+        lambda i: i >= 0,
+    )
+    check_id = F.get(names, F.col("i"))
     return (
-        df.where(~all_pass)
+        # No pre-filter AT ALL: the variant expressions inside the
+        # checks are CodegenFallback nodes that subexpression
+        # elimination cannot share, so the check set must appear
+        # EXACTLY ONCE in the plan — and Catalyst substitutes any
+        # filter predicate straight through the projection into the
+        # scan (even past a nondeterministic barrier column),
+        # duplicating the whole set (measured 2-4x slower for every
+        # filtered shape). Explode IS the filter: a passing row's
+        # fail-index array is empty and generates nothing, while the
+        # Generate input references the MATERIALIZED _ok attribute
+        # from the projection below, so checks run once per row
+        staged.select("key", "partition", F.explode(fail_idx).alias("i"))
         .select(
-            F.col(key).cast("string").alias("key"),
-            part_col.alias("partition"),
-            F.explode(fails).alias("vx"),
+            "key", "partition",
+            check_id.alias("check_id"),
+            F.format_string(
+                "$.%s violation in JSON document", check_id,
+            ).alias("detail"),
         )
-        .select("key", "partition", "vx.check_id", "vx.detail")
     )
 
 

@@ -1703,11 +1703,26 @@ _SQL_VAL_STR = ("json_type(doc,'$.val') = 'VARCHAR' AND regexp_full_match("
                 "json_extract_string(doc,'$.val'), 'v\\d{1,3}')")
 
 
+def _json_docs(spark, sf_dir, *cols):
+    """Synthesized docs MATERIALIZED (lazy localCheckpoint) so the
+    validation downstream sees a plain string column — the shape JSON
+    has in storage. Without the barrier, predicate pushdown fuses the
+    big synthesis CASE into every check inside the scan filter, blows
+    janino's method limit, and the whole pass runs interpreted with
+    repeated variant parses (measured ~6x slower; see SCALING.md
+    jsonvalidate codegen note). Real column-backed data never has this
+    problem — test_jsonvalidate asserts codegen with fallback off."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(*cols, _json_doc_col().alias("doc"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_json_validate(spark, sf_dir):
     from sjot_spark import jsonvalidate
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", _json_doc_col().alias("doc"))
+    docs = _json_docs(spark, sf_dir, "doc_id", "source")
     return jsonvalidate.validate_json_column(
         docs, "doc", JSON_DOC_SPEC, key="doc_id", partition_by="source",
     ).select("key", F.col("partition").alias("part"), "check_id")
@@ -1742,8 +1757,7 @@ FROM p WHERE ok AND NOT (
 def q_json_union_dispatch(spark, sf_dir):
     from sjot_spark import jsonvalidate
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _json_doc_col().alias("doc"))
+    docs = _json_docs(spark, sf_dir, "doc_id")
     docs = docs.where(F.try_parse_json(F.col("doc")).isNotNull())
     return (
         jsonvalidate.union_dispatch_index(

@@ -209,3 +209,12 @@ def test_json_validation_is_shuffle_free(spark):
     assert "Exchange" not in plan
     # one pipeline, not a join of per-check subplans
     assert "Join" not in plan
+    # the check set (CodegenFallback variant exprs, un-CSE-able) must
+    # be evaluated in EXACTLY ONE operator: any Filter/scan pushdown
+    # copy re-runs every variant chain per row (measured 2-4x slower)
+    ops_with_parse = {
+        line.split("[")[0].strip()
+        for line in plan.splitlines() if "parseJson" in line
+    }
+    assert all(op.endswith("Project") for op in ops_with_parse), ops_with_parse
+    assert len(ops_with_parse) <= 1, ops_with_parse
