@@ -415,3 +415,25 @@ def union_dispatch_index(
         F.col(key).cast("string").alias("key"),
         F.when(sub.isNull(), F.lit(-1)).otherwise(expr).alias("member"),
     )
+
+
+def autovalidate_json_column(
+    df: DataFrame,
+    json_col: str,
+    key: str,
+    partition_by: str | None = None,
+    sample_rows: int = 10_000,
+):
+    """snapSJOT end-to-end: infer a CheckSpec from a bounded sample of
+    the column (jsoninfer.infer_json_spec — the reference's snapSJOT
+    unification) and validate EVERY row against it. Returns
+    ``(spec, violations_df)`` — rows that deviate from the sampled
+    shape (new types, missing props, unparseable docs) surface as
+    typed violations. The sample is driver-side but bounded
+    (``limit(sample_rows)``); validation is the one-projection
+    variant pipeline."""
+    from sjot_spark.jsoninfer import infer_json_spec
+
+    spec = infer_json_spec(df, json_col, sample_rows=sample_rows)
+    return spec, validate_json_column(
+        df, json_col, spec, key=key, partition_by=partition_by)

@@ -1945,3 +1945,43 @@ ORACLES.update({
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "hash_sample": ORACLE_HASH_SAMPLE,
 })
+
+
+# ----------------------------------- JSON validation on REAL data
+# (the events.props column as stored — no synthesis, no barrier: the
+# storage-backed shape jsonvalidate is designed for.)
+
+EVENT_PROPS_SPEC = {"@root": "#P", "P": {"k": "0..79"}}
+
+
+def q_events_props_validate(spark, sf_dir):
+    from sjot_spark import jsonvalidate
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props")
+    return jsonvalidate.validate_json_column(
+        ev, "props", EVENT_PROPS_SPEC,
+        key="event_id", partition_by="event_type",
+    ).select("key", F.col("partition").alias("part"), "check_id")
+
+
+ORACLE_EVENTS_PROPS_VALIDATE = """
+SELECT CAST(event_id AS VARCHAR) AS key, event_type AS part,
+       'props_parse' AS check_id
+FROM events WHERE NOT json_valid(props)
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), event_type, 'k_required'
+FROM events WHERE json_valid(props) AND json_type(props, '$.k') IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), event_type, 'k_range'
+FROM events
+WHERE json_valid(props) AND json_type(props, '$.k') IS NOT NULL
+  AND NOT (json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+           AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) =
+               FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+           AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+               BETWEEN 0 AND 79)
+"""
+
+QUERIES["events_props_validate"] = q_events_props_validate
+ORACLES["events_props_validate"] = ORACLE_EVENTS_PROPS_VALIDATE

@@ -163,3 +163,28 @@ def test_column_backed_validation_stays_in_codegen(spark, tmp_path):
         assert {r.check_id for r in rows} >= {"doc_parse", "val_union"}
     finally:
         spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_autovalidate_flags_shape_outliers(spark):
+    """infer-then-validate: rows deviating from the sampled shape
+    surface as typed violations (snapSJOT unification feeding the
+    variant validator)."""
+    from sjot_spark.jsonvalidate import autovalidate_json_column
+
+    clean = [(i, '{"a":%d,"b":"x%d"}' % (i, i)) for i in range(50)]
+    outliers = [
+        (100, '{"a":"not-a-number","b":"y"}'),   # a: wrong runtime type
+        (101, '{"b":"z"}'),                      # a missing
+        (102, '{"a":1,"b":'),                    # unparseable
+    ]
+    df = spark.createDataFrame(clean + outliers,
+                               "doc_id long, doc string").coalesce(1)
+    spec, viol = autovalidate_json_column(
+        df, "doc", key="doc_id", sample_rows=50)
+    got = {}
+    for r in viol.collect():
+        got.setdefault(int(r.key), set()).add(r.check_id)
+    assert all(k >= 100 for k in got), got
+    assert any("a_" in c for c in got.get(100, ())), got
+    assert any("required" in c for c in got.get(101, ())), got
+    assert got.get(102) == {"doc_parse"}
