@@ -59,15 +59,20 @@ def bench_seq_validate(spark) -> tuple[float, dict]:
     # untimed warmup on a slice: JIT + codegen + parquet footers, so
     # the timed run measures steady-state throughput, not JVM startup
     warm = eng.run(df.limit(50_000), dims=dims, persist_violations=False)
-    warm.violations.count()
     warm.verdicts.collect()
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    res = eng.run(df, dims=dims)
-    n_viol = res.violations.count()
+    # ONE action per timed run: verdicts subsume the violations count
+    # (sum of n_violations) and, without persist, the violations plan
+    # is evaluated exactly once INSIDE the verdicts query — r3's
+    # two-action shape (count + collect, persisted intermediate) paid
+    # a ~4 s fixed component per run (BENCH/BASELINE.md round-3
+    # Amdahl fit), which capped small-box scaling readings.
+    res = eng.run(df, dims=dims, persist_violations=False)
     verd = res.verdicts.collect()
     dt = time.perf_counter() - t0
     n_rows = sum(r["n_rows"] for r in verd)
+    n_viol = sum(r["n_violations"] for r in verd)
     return dt, {"rows": n_rows, "violations": n_viol,
                 "rows_per_sec": round(n_rows / dt, 1)}
 
@@ -274,6 +279,96 @@ def run_single_validate() -> dict:
             "probe_sec": round(probe, 3), "scan_sec": round(scan, 3)}
 
 
+STREAM_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "8"))
+STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "250000"))
+
+
+def _drain_stream(q, n_batches: int, timeout_s: float = 600.0) -> dict:
+    """Run a continuously-triggering stream until ``n_batches``
+    micro-batches completed, then stop; throughput is computed from
+    the query's own progress events (busy time only — idle gaps
+    between triggers don't count against the engine)."""
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < timeout_s:
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] >= n_batches:
+            break
+        time.sleep(0.25)
+    progresses = [p for p in q.recentProgress
+                  if p["numInputRows"] > 0][:n_batches]
+    q.stop()
+    rows = sum(p["numInputRows"] for p in progresses)
+    busy_s = sum(p["durationMs"]["triggerExecution"]
+                 for p in progresses) / 1000.0
+    return {"rows": rows, "busy_sec": round(busy_s, 3),
+            "rows_per_sec": round(rows / busy_s, 1) if busy_s else None,
+            "batches": len(progresses)}
+
+
+def run_streaming_bench() -> dict:
+    """Streaming throughput evidence (VERDICT r3 #6): rate-source
+    rows/sec through (a) foreachBatch FULL validation (all row checks
+    + uniqueness agg + broadcast ref join per micro-batch, violations
+    to a parquet sink) and (b) cross-batch dedup via
+    dropDuplicatesWithinWatermark. The input is synthesized from the
+    rate source's `value` by the SAME pure-expression generator the
+    batch fixtures use — no files, no Python UDFs on the hot path."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from sjot_spark.engine import ValidationEngine
+    from sjot_spark.fixtures import (
+        SEQUENCE_SPEC, make_allowed_sources, sequence_columns,
+    )
+    from sjot_spark.session import get_spark
+    from sjot_spark.streaming.stream import dedup_stream, run_foreach_batch
+
+    spark = get_spark(app_name="sjot_stream_bench")
+    tmp = tempfile.mkdtemp(prefix="sjot_stream_bench_")
+    out = {}
+    try:
+        # (a) full validation per micro-batch
+        rate = (spark.readStream.format("rate-micro-batch")
+                .option("rowsPerBatch", STREAM_ROWS)
+                .option("numPartitions", CPUS).load())
+        seqs = sequence_columns(rate.select(F.col("value").alias("id")))
+        eng = ValidationEngine(SEQUENCE_SPEC, assume_nonnull_elements=True)
+        dims = {"allowed_sources": make_allowed_sources(spark)}
+        q = run_foreach_batch(
+            eng, seqs, out_dir=f"{tmp}/v", dims=dims,
+            checkpoint=f"{tmp}/ckpt_v", trigger_available_now=False)
+        out["validate_stream"] = _drain_stream(q, STREAM_BATCHES)
+
+        # (b) cross-batch dedup (watermark-bounded state); ~10% of
+        # keys collide so the state path does real work
+        rate2 = (spark.readStream.format("rate-micro-batch")
+                 .option("rowsPerBatch", STREAM_ROWS)
+                 .option("numPartitions", CPUS).load())
+        keyed = rate2.select(
+            F.col("timestamp"),
+            (F.col("value") % int(STREAM_ROWS * STREAM_BATCHES * 0.9))
+            .cast("string").alias("doc_id"))
+        dq = (dedup_stream(keyed, ["doc_id"], "timestamp", "10 seconds")
+              .writeStream.format("noop")
+              .option("checkpointLocation", f"{tmp}/ckpt_d")
+              .start())
+        out["dedup_stream"] = _drain_stream(dq, STREAM_BATCHES)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": "streaming rows/sec (rate-micro-batch source; busy "
+                  "trigger time only)",
+        "unit": "rows_per_sec",
+        "value": out["validate_stream"]["rows_per_sec"],
+        "legs": out,
+        "rows_per_batch": STREAM_ROWS,
+        "cpus": CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -281,5 +376,7 @@ if __name__ == "__main__":
         print(json.dumps(run_paired()))
     elif "--single-validate" in sys.argv:
         print(json.dumps(run_single_validate()))
+    elif "--streaming" in sys.argv:
+        print(json.dumps(run_streaming_bench()))
     else:
         print(json.dumps(run_bench()))

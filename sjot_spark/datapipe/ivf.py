@@ -89,6 +89,7 @@ def build_ivf(
     df: DataFrame, id_col: str, vec_col: str,
     nlist: int = 16, seed: int = 42, max_fit_rows: int = 100_000,
     approx_rows: int | None = None,
+    fit_filter_denom: int | None = None,
 ):
     """Returns (assigned_df with `cell`, centroids: list[(cell, vec)]).
 
@@ -102,6 +103,21 @@ def build_ivf(
     by the assignment projection — there is no count job and no
     transform/self-join (Lloyd iterations run on the cached bounded
     sample only).
+
+    SAMPLING-BIAS caveat: with neither `approx_rows` nor
+    `fit_filter_denom`, the fit input is ``limit(max_fit_rows)`` — an
+    arbitrary PREFIX of the corpus. On data laid out by a clustered
+    key (e.g. sorted by source) that prefix covers one stratum and
+    centroid quality (hence recall) degrades. Callers at scale should
+    pass `approx_rows` from table metadata (Iceberg snapshot
+    ``total-records`` / parquet footer counts — free, no count job);
+    when no metadata exists, pass `fit_filter_denom=D` to hash-thin
+    the scan (keep ~1/D of rows by xxhash64(id) before the limit),
+    which spreads the sample across ~D× more of the corpus for the
+    cost of scanning D× more input rows (still bounded: CollectLimit
+    stops early). The default stays the prefix because thinning a
+    corpus SMALLER than D*max_fit_rows silently shrinks the fit
+    sample instead.
 
     Assignment uses the SAME metric the query path probes with
     (argmax cosine == argmin euclidean for unit-normalized inputs up
@@ -132,6 +148,9 @@ def build_ivf(
         denom = (approx_rows + max_fit_rows - 1) // max_fit_rows
         fit_ml = ml.where(
             F.pmod(F.xxhash64(F.col("_id")), F.lit(denom)) == 0)
+    elif fit_filter_denom is not None and fit_filter_denom > 1:
+        fit_ml = ml.where(
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(fit_filter_denom)) == 0)
     model = KMeans(k=nlist, seed=seed, maxIter=20).fit(
         fit_ml.limit(max_fit_rows))
     centroids = [

@@ -59,13 +59,19 @@ def pack_stats(
     budget: int,
 ) -> DataFrame:
     """Per-(group, bin) packing summary: docs packed, payload length,
-    and fill level of the budget window (integer per-mille, exact)."""
+    and fill level of the budget window (integer per-mille, exact —
+    FLOOR(len_sum*1000/budget); can exceed 1000 because a document
+    straddling the boundary counts in the bin its first token lands
+    in)."""
     packed = pack_bins(df, group, order, length, budget)
+    len_sum = F.sum(F.col(length).cast("long"))
     return (
         packed.groupBy(group, "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col(length).cast("long")).alias("len_sum"),
+            len_sum.alias("len_sum"),
+            F.floor(len_sum * 1000 / budget).cast("long")
+            .alias("fill_permille"),
         )
     )
 

@@ -365,8 +365,17 @@ class ValidationEngine:
         verdicts = reduce(
             DataFrame.unionByName,
             [r.verdicts for r in results] + [unknown_verd])
+        # flags covers EVERY input row, like run(): the per-slice flags
+        # frames union by name with missing chk_<id> columns null-filled
+        # (NULL chk = "this check does not apply to this row's spec"),
+        # and unknown-spec rows appear with passed=False (the analog of
+        # the reference's throw on an invalid @sjot schema)
+        unknown_flags = unknown.select("*", F.lit(False).alias("passed"))
+        flags = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [r.flags for r in results] + [unknown_flags])
         return ValidationResult(
-            flags=results[0].flags if results else self.run(df, dims).flags,
+            flags=flags,
             violations=violations,
             verdicts=verdicts,
             check_ids=sorted(
@@ -430,13 +439,25 @@ class ValidationEngine:
         ).first()
         return row.asDict()
 
-    def repair(self, df: DataFrame) -> DataFrame:
+    def repair(self, df: DataFrame, sort_sets: bool = False) -> DataFrame:
         """Opt-in analog of SJOT's default insertion: fill null
         OPTIONAL columns with their declared defaults (index.js:424-442)
         and replace null ARRAY ELEMENTS with the element type's zero
         value (index.js:182-190, sjot_default 1194-1244). Never applied
         on the validation path — the main pass must leave data
-        byte-identical."""
+        byte-identical.
+
+        ``sort_sets=True`` additionally normalizes ``type{n,m}`` SET
+        columns to sorted order — the reference's validator sorts sets
+        in place as a side effect of its uniqueness check
+        (``data.sort().filter(...)``, index.js:294-299); here that
+        mutation is opt-in like every repair. Ordering note: Spark's
+        ``array_sort`` uses VALUE order while JS's default comparator
+        is string-lexicographic, so node-parity holds for string sets
+        (where the two orders coincide) and numeric sets get the sane
+        numeric order instead of the reference's ["10" < "2"]
+        artifact. Element-default fill runs BEFORE the sort so filled
+        zeros land in order."""
         from sjot_spark.spec.typestr import (
             ArrayOf, Primitive, Range, Ref, SizedInt,
         )
@@ -457,22 +478,26 @@ class ValidationEngine:
             if isinstance(t, ArrayOf):
                 item = t.item
                 if isinstance(item, (SizedInt, Range)):
-                    dflt: object = 0
+                    dflt: object | None = 0
                 elif isinstance(item, Primitive) and item.name in (
                         "string", "char"):
                     dflt = ""
                 elif isinstance(item, Primitive) and item.name == "boolean":
                     dflt = False
                 else:
-                    continue
-                out = out.withColumn(
-                    p.name,
-                    F.when(
-                        F.col(p.name).isNotNull(),
-                        F.transform(
-                            F.col(p.name),
-                            lambda x: F.coalesce(x, F.lit(dflt)),
+                    dflt = None
+                if dflt is not None:
+                    out = out.withColumn(
+                        p.name,
+                        F.when(
+                            F.col(p.name).isNotNull(),
+                            F.transform(
+                                F.col(p.name),
+                                lambda x: F.coalesce(x, F.lit(dflt)),
+                            ),
                         ),
-                    ),
-                )
+                    )
+                if t.is_set and sort_sets:
+                    out = out.withColumn(
+                        p.name, F.array_sort(F.col(p.name)))
         return out

@@ -67,7 +67,26 @@ def make_sequences(
     With ``violations=True``, fixed row ids are corrupted — exactly one
     corruption per check class, each mapping to one check_id.
     """
-    df = spark.range(n_rows, numPartitions=partitions)
+    return sequence_columns(
+        spark.range(n_rows, numPartitions=partitions),
+        seed=seed, violations=violations, n_rows=n_rows)
+
+
+def sequence_columns(
+    df: DataFrame,
+    seed: int = 42,
+    violations: bool = False,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """The make_sequences generator over ANY DataFrame carrying an
+    ``id`` long column — the same pure-expression synthesis works on
+    ``spark.range`` (batch fixtures) and on STREAMING sources (e.g.
+    the rate source's ``value`` renamed to ``id``), which is how the
+    streaming micro-bench feeds the validator without files.
+    ``violations=True`` needs ``n_rows`` (corruption sites are fixed
+    fractions of the table)."""
+    if violations and n_rows is None:
+        raise ValueError("violations=True needs n_rows")
 
     # skewed categorical source
     u = _uniform(seed * 7 + 1, 10000, F.col("id"))
@@ -95,7 +114,7 @@ def make_sequences(
         F.col("id"),
     )
 
-    if violations and n_rows >= 64:
+    if violations and n_rows is not None and n_rows >= 64:
         # fixed corruption sites (FIXTURES.md §1); ids spread over the table
         i = lambda k: (k * n_rows) // 64  # noqa: E731
         vid = {

@@ -208,6 +208,21 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve) -> Column:
     raise SpecError(f"jsonvalidate: unsupported node {t!r}")
 
 
+def _no_embedded_sjot(sub: Column) -> Column:
+    """Pass-predicate rejecting documents that carry an embedded
+    runtime ``@sjot`` schema. The reference validates an object typed
+    ``any`` against the schema the object itself carries under the
+    ``@sjot`` key (/root/reference/index.js:111-131, throwing
+    "Invalid @sjot schema" on a malformed one). A compiled fixed plan
+    cannot load a per-row schema (COVERAGE.md E6/C6 design limit), so
+    instead of SILENTLY accepting such documents as ``any`` — which
+    would diverge from the reference whenever the embedded schema
+    rejects its carrier — they surface as a typed
+    ``*_embedded_sjot`` violation; route them to run_dispatched /
+    per-partition overrides for actual validation."""
+    return F.try_variant_get(sub, "$['@sjot']", "variant").isNull()
+
+
 # ----------------------------------------------------------- check list
 
 _CLASS_OF = [
@@ -264,6 +279,11 @@ def compile_json_checks(spec: CheckSpec, v: Column):
             checks.append((
                 f"{pid}_{cname}",
                 F.when(~present, F.lit(True)).otherwise(ok)))
+            if isinstance(node, Primitive) and node.name == "any":
+                checks.append((
+                    f"{pid}_embedded_sjot",
+                    F.when(~present, F.lit(True)).otherwise(
+                        _no_embedded_sjot(sub))))
         # object-level propsets (@one/@any/@all/@dep) over presence
         def pres(name: str) -> Column:
             return F.try_variant_get(v, f"{path}.{name}", "variant") \
@@ -298,6 +318,10 @@ def compile_json_checks(spec: CheckSpec, v: Column):
             f"root_{_check_class(root)}",
             _vpred(root, F.try_variant_get(v, "$", "variant"),
                    tag, spec.resolve)))
+        if isinstance(root, Primitive) and root.name == "any":
+            checks.append((
+                "root_embedded_sjot",
+                _no_embedded_sjot(F.try_variant_get(v, "$", "variant"))))
     return checks
 
 
@@ -315,14 +339,19 @@ def validate_json_column(
     ValidationEngine.run().violations (E1/E7). A document that fails to
     parse yields exactly one ``{json_col}_parse`` violation and no
     per-path noise (the reference throws on the first error of an
-    instance; we gate all path checks on parse success)."""
+    instance; we gate all path checks on parse success). A SQL-NULL
+    document is ABSENT, not invalid: it yields no violations at all —
+    neither a parse violation nor per-path noise (path checks are
+    gated on document presence; matches the DuckDB twin where
+    ``json_valid(NULL)`` is NULL, so NULL docs match no predicate)."""
     if not isinstance(spec, CheckSpec):
         spec = CheckSpec(spec)
     v = F.try_parse_json(F.col(json_col))
-    parsed = v.isNotNull() | F.col(json_col).isNull()
+    doc_null = F.col(json_col).isNull()
+    parsed = v.isNotNull() | doc_null
     checks = [(f"{json_col}_parse", parsed)]
     checks += [
-        (cid, F.when(~parsed, F.lit(True)).otherwise(c))
+        (cid, F.when(doc_null | ~parsed, F.lit(True)).otherwise(c))
         for cid, c in compile_json_checks(spec, v)
     ]
     part_col = (F.col(partition_by) if partition_by

@@ -36,6 +36,13 @@ _ALGEBRA = {
     "sum": (lambda c: F.sum(c), F.sum),
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),
+    # EXACT only when the salt is derived from the counted column
+    # itself: hash-salting on it partitions the distinct VALUE SPACE
+    # into disjoint cells, so per-cell distinct counts sum to the
+    # exact global distinct count (enforced in salted_agg). This is
+    # the heavy-merge-state case salting exists for — a hot key's
+    # dedup state spreads over n_salts reducers instead of one.
+    "count_distinct": (lambda c: F.count_distinct(c), F.sum),
 }
 
 
@@ -58,6 +65,12 @@ def salted_agg(
             raise ValueError(
                 f"{fn} has no registered partial/merge algebra "
                 f"(supported: {sorted(_ALGEBRA)})")
+        if fn == "count_distinct" and (salt_on is None or salt_on != _col):
+            raise ValueError(
+                "count_distinct is only exact when salted on the "
+                "counted column itself (salt_on=<that column>): the "
+                "hash then partitions the distinct value space into "
+                "disjoint cells whose counts sum exactly")
     salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
     salt = F.pmod(F.xxhash64(salt_src), F.lit(n_salts))
 

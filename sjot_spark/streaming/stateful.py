@@ -113,11 +113,37 @@ def session_stream(
         for pdf in pdfs:
             ts_all.extend(int(t) for t in pdf["_ts_ms"])
         ts_all.sort()
+        closed_s, closed_e, closed_n = [], [], []
         if state.exists:
             start, end, n = state.get
+            # cross-batch late events OLDER than the open session's
+            # start must not be absorbed silently (they'd leave
+            # session_start_ms wrong — batch parity): sessionize them
+            # on their own; the trailing pre-session merges into the
+            # open session (lowering its start) only when it is
+            # within gap of it, otherwise it closes as its own
+            # earlier session, exactly as the batch twin would
+            before = [t for t in ts_all if t < start]
+            ts_all = [t for t in ts_all if t >= start]
+            if before:
+                s0 = e0 = before[0]
+                c0 = 1
+                for t in before[1:]:
+                    if t - e0 > gap_ms:
+                        closed_s.append(s0)
+                        closed_e.append(e0)
+                        closed_n.append(c0)
+                        s0, e0, c0 = t, t, 1
+                    else:
+                        e0, c0 = t, c0 + 1
+                if start - e0 <= gap_ms:
+                    start, n = s0, n + c0
+                else:
+                    closed_s.append(s0)
+                    closed_e.append(e0)
+                    closed_n.append(c0)
         else:
             start, end, n = ts_all[0], ts_all[0], 0
-        closed_s, closed_e, closed_n = [], [], []
         for t in ts_all:
             if t - end > gap_ms:
                 closed_s.append(start)

@@ -60,3 +60,23 @@ def test_run_dispatched_slice_scans_partition_prune(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [" in plan
     assert "kind" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
+def test_run_dispatched_flags_cover_every_input_row(spark):
+    """r4 fix (ADVICE r3): flags from run_dispatched covers ALL rows —
+    each slice's flags union by name (chk columns that don't apply to
+    a row's spec are NULL), and unknown-spec rows appear with
+    passed=False (the analog of the reference's invalid-@sjot throw)."""
+    df = spark.createDataFrame(
+        [("d1", "A", 5), ("d2", "A", 50), ("d3", "B", 3),
+         ("d4", "C", 1), ("d5", None, 2)],
+        "doc_id string, kind string, x int")
+    specs = {"A": _spec(9), "B": _spec(4)}
+    res = ValidationEngine(specs["A"]).run_dispatched(df, specs, on="kind")
+    flags = {r.doc_id: r for r in res.flags.collect()}
+    assert set(flags) == {"d1", "d2", "d3", "d4", "d5"}
+    assert flags["d1"].passed is True
+    assert flags["d2"].passed is False   # fails A's 0..9
+    assert flags["d3"].passed is True    # passes B's 0..4
+    assert flags["d4"].passed is False   # unknown spec
+    assert flags["d5"].passed is False   # NULL discriminator -> unknown

@@ -206,3 +206,58 @@ def test_empty_table(spark):
     res = eng.run(df, dims={"allowed_sources": make_allowed_sources(spark)})
     assert res.violations.count() == 0
     assert res.verdicts.count() == 0
+
+
+def test_repair_sorts_sets_opt_in(spark):
+    """r4 (VERDICT r3 #5): the reference's validator sorts sets in
+    place (index.js:294-299); repair(sort_sets=True) is the opt-in
+    analog. The default repair leaves set order untouched (validation
+    path byte-equality), and element-default fill lands IN order."""
+    eng = ValidationEngine({
+        "@root": "#T",
+        "T": {"k": "string", "s?": "string{1,4}", "n?": "0..9{1,4}"},
+        "@table": {"key": "k"},
+    })
+    df = spark.createDataFrame(
+        [("x", ["b", "a", "c"], [3, None, 1]), ("y", None, None)],
+        "k string, s array<string>, n array<int>")
+    plain = {r.k: (r.s, r.n) for r in eng.repair(df).collect()}
+    assert plain["x"] == (["b", "a", "c"], [3, 0, 1])  # unsorted
+    fixed = {r.k: (r.s, r.n) for r in
+             eng.repair(df, sort_sets=True).collect()}
+    assert fixed["x"] == (["a", "b", "c"], [0, 1, 3])  # fill THEN sort
+    assert fixed["y"] == (None, None)
+
+
+def test_repair_sets_node_parity(spark):
+    """The sorted STRING set matches what the reference's in-place
+    sort produces for the same instance (JS default comparator is
+    lexicographic == value order for strings)."""
+    import json as _json
+    import shutil as _sh
+    import subprocess as _sp
+
+    node = _sh.which("node")
+    if node is None:
+        import pytest as _pt
+        _pt.skip("node not installed")
+    driver = r"""
+const SJOT = require("/root/reference/index.js");
+const data = JSON.parse(require("fs").readFileSync(0, "utf8"));
+// the reference sorts the set in place during validation
+SJOT.valid(data, "#T", {"T": {"s": "string{1,4}"}});
+console.log(JSON.stringify(data.s));
+"""
+    inst = {"s": ["b", "a", "c"]}
+    p = _sp.run([node, "-e", driver], input=_json.dumps(inst).encode(),
+                capture_output=True, check=True)
+    ref_sorted = _json.loads(p.stdout)
+
+    eng = ValidationEngine({
+        "@root": "#T", "T": {"k": "string", "s": "string{1,4}"},
+        "@table": {"key": "k"},
+    })
+    df = spark.createDataFrame([("x", ["b", "a", "c"])],
+                               "k string, s array<string>")
+    ours = eng.repair(df, sort_sets=True).collect()[0].s
+    assert ours == ref_sorted == ["a", "b", "c"]

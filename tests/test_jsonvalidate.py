@@ -188,3 +188,93 @@ def test_autovalidate_flags_shape_outliers(spark):
     assert any("a_" in c for c in got.get(100, ())), got
     assert any("required" in c for c in got.get(101, ())), got
     assert got.get(102) == {"doc_parse"}
+
+
+def test_null_document_is_absent_not_invalid(spark):
+    """A SQL-NULL JSON document yields NO violations — neither a parse
+    violation nor per-path noise (r4 fix: path checks are gated on
+    document presence; DuckDB twin: json_valid(NULL) is NULL, so NULL
+    docs match no oracle predicate)."""
+    spec = {"@root": "#T", "T": {"k": "0..79"}}
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, None), (3, '{"k": 99}'), (4, '{nope')],
+        "doc_id long, doc string")
+    rows = validate_json_column(df, "doc", spec, key="doc_id").collect()
+    v = {}
+    for r in rows:
+        v.setdefault(int(r.key), set()).add(r.check_id)
+    assert v == {3: {"k_range"}, 4: {"doc_parse"}}
+    assert 2 not in v  # absent, not invalid
+
+
+EMBEDDED_DOCS = [
+    (1, '{"k": 5, "p": {"@sjot": {"@root": "string"}, "v": 1}}'),
+    (2, '{"k": 5, "p": {"v": 1}}'),
+    (3, '{"k": 5}'),
+    (4, '{"k": 5, "p": 7}'),
+]
+
+
+def test_embedded_sjot_surfaces_typed_violation(spark):
+    """A value typed `any` carrying an embedded runtime @sjot schema
+    (reference index.js:111-131) is NOT silently accepted: it raises
+    the typed *_embedded_sjot violation (a compiled fixed plan cannot
+    load per-row schemas; route such rows to run_dispatched)."""
+    spec = {"@root": "#T", "T": {"k": "0..79", "p?": "any"}}
+    df = spark.createDataFrame(EMBEDDED_DOCS, "doc_id long, doc string")
+    rows = validate_json_column(df, "doc", spec, key="doc_id").collect()
+    got = {(int(r.key), r.check_id) for r in rows}
+    assert got == {(1, "p_embedded_sjot")}
+
+    # root typed `any`: the whole document is the value
+    root_any = {"@root": "any"}
+    rows2 = validate_json_column(
+        df, "doc", root_any, key="doc_id").collect()
+    assert {(int(r.key), r.check_id) for r in rows2} == set()
+    carrier = spark.createDataFrame(
+        [(9, '{"@sjot": {"@root": "string"}, "v": 1}')],
+        "doc_id long, doc string")
+    rows3 = validate_json_column(
+        carrier, "doc", root_any, key="doc_id").collect()
+    assert {(int(r.key), r.check_id) for r in rows3} == {
+        (9, "root_embedded_sjot")}
+
+
+@pytest.mark.skipif(node is None, reason="node not installed")
+def test_embedded_sjot_reference_cross_check(spark):
+    """Node cross-check of the reference's ACTUAL embedded-@sjot
+    behavior (index.js:111-131): it loads and applies the embedded
+    schema at runtime. Where the embedded schema REJECTS its carrier
+    the reference returns invalid and our typed violation agrees; where
+    it ACCEPTS, the reference returns valid while we still flag — the
+    disclosed design limit of a compiled fixed plan (COVERAGE.md E6),
+    surfaced as a typed row instead of a silent wrong 'pass'."""
+    driver = r"""
+const SJOT = require("/root/reference/index.js");
+const docs = JSON.parse(require("fs").readFileSync(0, "utf8"));
+console.log(JSON.stringify(docs.map(raw => {
+  try { return SJOT.valid(JSON.parse(raw), "any", null); }
+  catch (e) { return false; }
+})));
+"""
+    cases = [
+        # embedded schema rejects its carrier (object vs "string")
+        '{"@sjot": {"@root": "string"}, "v": 1}',
+        # embedded schema accepts its carrier
+        '{"@sjot": {"@root": "#O", "O": {"v": "1..5"}}, "v": 3}',
+        # no @sjot at all -> plain any, valid
+        '{"v": 1}',
+    ]
+    p = subprocess.run(
+        [node, "-e", driver], input=json.dumps(cases).encode(),
+        capture_output=True, check=True)
+    assert json.loads(p.stdout) == [False, True, True]
+
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "doc_id long, doc string")
+    flagged = {int(r.key) for r in validate_json_column(
+        df, "doc", {"@root": "any"}, key="doc_id").collect()}
+    # we flag BOTH @sjot carriers (0 agrees with the reference's
+    # reject; 1 is the disclosed flag-instead-of-validate divergence)
+    # and agree on the plain-any doc
+    assert flagged == {0, 1}

@@ -66,3 +66,28 @@ def test_unmergeable_agg_rejected(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError, match="algebra"):
         salted_agg(df, ["k"], {"d": ("approx_count_distinct", "v")})
+
+
+def test_count_distinct_salted_on_counted_column_is_exact(spark):
+    """r4: count_distinct joins the algebra — exact because salting on
+    the counted column partitions the distinct VALUE SPACE into
+    disjoint cells (per-cell distinct counts sum exactly). The heavy-
+    merge-state case salting exists for."""
+    from sjot_spark.fixtures import make_sequences
+
+    df = make_sequences(spark, 400, violations=True)  # has seeded dups
+    a = {tuple(r) for r in df.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("d")).collect()}
+    b = {tuple(r) for r in salted_agg(
+        df, ["source"], {"d": ("count_distinct", "doc_id")},
+        n_salts=8, salt_on="doc_id").collect()}
+    assert a == b
+
+
+def test_count_distinct_requires_salt_on_counted_column(spark):
+    df = spark.createDataFrame([("a", 1, 2)], "k string, v long, w long")
+    with pytest.raises(ValueError, match="salted on the counted column"):
+        salted_agg(df, ["k"], {"d": ("count_distinct", "v")},
+                   salt_on="w")
+    with pytest.raises(ValueError, match="salted on the counted column"):
+        salted_agg(df, ["k"], {"d": ("count_distinct", "v")})

@@ -233,3 +233,57 @@ def test_streaming_sessionization_event_time_timeout(spark, tmp_path):
     # user 2: first event closed in-batch by the 3 h gap
     assert (1, t0, t0 + 60_000, 2) in got
     assert (2, t0, t0, 1) in got
+
+
+def test_streaming_session_cross_batch_late_event(spark, tmp_path):
+    """r4 fix (ADVICE r3): a cross-batch late event OLDER than the open
+    session's start must either lower session_start_ms (when within
+    gap) or close as its own earlier session — never be silently
+    absorbed with a wrong start."""
+    from sjot_spark.streaming.stateful import session_stream
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    t = "2024-01-01 0%d:%02d:00"
+    # gap (5 min) < watermark delay (40 min): late events can be above
+    # the watermark (so Spark's late-row filter keeps them) yet older
+    # than the open session's start, reaching the cross-batch path.
+    # batch 1 — user 1 opens a session at 01:00; watermark -> 00:20
+    spark.createDataFrame(
+        [(1, t % (1, 0))], "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2 — user 1: late 00:58 (within the 5-min gap of the open
+    # 01:00 start -> must LOWER start), and late 00:25 (older than
+    # 00:58 - gap -> its own immediately-closed session; still above
+    # the 00:20 watermark); user 9 pushes the watermark forward
+    spark.createDataFrame(
+        [(1, t % (0, 58)), (1, t % (0, 25)), (9, t % (3, 0))],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    # batch 3 — advance the watermark far past every horizon
+    spark.createDataFrame(
+        [(9, "2024-01-01 09:00:00")], "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.parquet(str(src / "f3"))
+
+    sdf = (spark.readStream.schema("user_id long, ts timestamp")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    q = (session_stream(sdf, "user_id", "ts", gap_minutes=5,
+                        watermark="40 minutes")
+         .writeStream.format("memory").queryName("latemem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "lckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+           for r in spark.sql("select * from latemem").collect()}
+    t0 = 1704067200000  # 2024-01-01 00:00:00 UTC
+    m = 60_000
+    u1 = {g for g in got if g[0] == 1}
+    # 00:25 closes alone; 00:58 merges and LOWERS the open start
+    assert (1, t0 + 25 * m, t0 + 25 * m, 1) in u1
+    assert (1, t0 + 58 * m, t0 + 60 * m, 2) in u1
+    assert len(u1) == 2
