@@ -285,17 +285,20 @@ STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "250000"))
 
 def _drain_stream(q, n_batches: int, timeout_s: float = 600.0) -> dict:
     """Run a continuously-triggering stream until ``n_batches``
-    micro-batches completed, then stop; throughput is computed from
-    the query's own progress events (busy time only — idle gaps
-    between triggers don't count against the engine)."""
+    micro-batches completed AFTER the first one, then stop;
+    throughput is computed from the query's own progress events (busy
+    trigger time only — idle gaps between triggers don't count
+    against the engine). Micro-batch 0 is EXCLUDED: it pays one-time
+    codegen, state-store and sink initialization (the same
+    warmup-exclusion discipline bench_seq_validate applies)."""
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < timeout_s:
         lp = q.lastProgress
-        if lp is not None and lp["batchId"] >= n_batches:
+        if lp is not None and lp["batchId"] > n_batches:
             break
         time.sleep(0.25)
     progresses = [p for p in q.recentProgress
-                  if p["numInputRows"] > 0][:n_batches]
+                  if p["numInputRows"] > 0][1:n_batches + 1]
     q.stop()
     rows = sum(p["numInputRows"] for p in progresses)
     busy_s = sum(p["durationMs"]["triggerExecution"]

@@ -14,7 +14,12 @@ while [ "$run" -lt "$MAX_RUNS" ]; do
   ok=$(awk -v l="$load" -v m="$MAX_LOAD" 'BEGIN{print (l<m)?1:0}')
   if [ "$ok" = 1 ]; then
     echo "$(date +%T) quiet (load $load) — firing ${ROWS}-row campaign" >&2
-    SPARK_GRAFT_BENCH_ROWS=$ROWS python bench.py --paired >> BENCH/campaigns.jsonl 2>/dev/null
+    if SPARK_GRAFT_BENCH_ROWS=$ROWS python bench.py --paired \
+         >> BENCH/campaigns.jsonl 2>>/tmp/campaign_loop_stderr.log; then
+      echo "$(date +%T) campaign ok" >&2
+    else
+      echo "$(date +%T) campaign FAILED (exit $?) — see /tmp/campaign_loop_stderr.log" >&2
+    fi
     run=$((run+1))
     sleep 60
   else

@@ -149,9 +149,10 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve) -> Column:
         item = t.item
         while isinstance(item, Ref):
             item = resolve(item.name)
-        if not (isinstance(item, Primitive) and item.name == "any"):
-            elems = F.try_variant_get(sub, "$", "array<variant>")
-            conds.append(F.forall(elems, _elem_pred_factory(item, resolve)))
+        # NB: `any` items are NOT skipped — _vpred(any) rejects
+        # embedded-@sjot carriers, so any[] arrays still scan elements
+        elems = F.try_variant_get(sub, "$", "array<variant>")
+        conds.append(F.forall(elems, _elem_pred_factory(item, resolve)))
         return reduce(and_, conds)
     if isinstance(t, Tuple):
         elems = F.try_variant_get(sub, "$", "array<variant>")
@@ -204,7 +205,13 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve) -> Column:
         if n == "array":
             return tag == F.lit("array")
         if n == "any":
-            return F.lit(True)
+            # `any` accepts every value EXCEPT an embedded-@sjot
+            # carrier (reference index.js:111-131 would validate it
+            # against the schema it carries — a compiled fixed plan
+            # cannot, so carriers must not silently pass; see
+            # _no_embedded_sjot). This covers `any` wherever it nests:
+            # array items, tuple slots, union members.
+            return _no_embedded_sjot(sub)
     raise SpecError(f"jsonvalidate: unsupported node {t!r}")
 
 
@@ -274,16 +281,20 @@ def compile_json_checks(spec: CheckSpec, v: Column):
                 walk(node, ppath, f"{pid}.")
                 continue
             tag = _canon_tag(sub)
+            if isinstance(node, Primitive) and node.name == "any":
+                # the only check `any` carries is the embedded-@sjot
+                # rejection; at prop level it gets its own typed id
+                # instead of a generic always-true *_type
+                checks.append((
+                    f"{pid}_embedded_sjot",
+                    F.when(~present, F.lit(True)).otherwise(
+                        _no_embedded_sjot(sub))))
+                continue
             cname = _check_class(node)
             ok = _vpred(node, sub, tag, spec.resolve)
             checks.append((
                 f"{pid}_{cname}",
                 F.when(~present, F.lit(True)).otherwise(ok)))
-            if isinstance(node, Primitive) and node.name == "any":
-                checks.append((
-                    f"{pid}_embedded_sjot",
-                    F.when(~present, F.lit(True)).otherwise(
-                        _no_embedded_sjot(sub))))
         # object-level propsets (@one/@any/@all/@dep) over presence
         def pres(name: str) -> Column:
             return F.try_variant_get(v, f"{path}.{name}", "variant") \
@@ -313,15 +324,13 @@ def compile_json_checks(spec: CheckSpec, v: Column):
         walk(root, "$", "")
     else:
         # scalar / union root: the whole document is the value
-        tag = _canon_tag(F.try_variant_get(v, "$", "variant"))
-        checks.append((
-            f"root_{_check_class(root)}",
-            _vpred(root, F.try_variant_get(v, "$", "variant"),
-                   tag, spec.resolve)))
+        sub = F.try_variant_get(v, "$", "variant")
         if isinstance(root, Primitive) and root.name == "any":
+            checks.append(("root_embedded_sjot", _no_embedded_sjot(sub)))
+        else:
             checks.append((
-                "root_embedded_sjot",
-                _no_embedded_sjot(F.try_variant_get(v, "$", "variant"))))
+                f"root_{_check_class(root)}",
+                _vpred(root, sub, _canon_tag(sub), spec.resolve)))
     return checks
 
 

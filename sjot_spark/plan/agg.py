@@ -22,7 +22,16 @@ approx_count_distinct is NOT mergeable here (use it directly — Spark
 merges its HLL sketches internally).
 
 The equivalence `salted_agg(df) == df.groupBy(key).agg(...)` is
-property-tested in tests/test_salted_agg.py.
+property-tested in tests/test_salted_agg.py, and the count_distinct
+algebra is DuckDB-oracled (queries.salted_distinct). Reference
+analog: SJOT's uniqueness check lifted cross-row (set uniqueness,
+/root/reference/index.js:294-299); the salting itself is the
+north_star's "salted repartitioning for skewed sources" mechanism.
+Honest scope note (measured, SCALING.md §Skew): Spark's planner
+already two-phases exact distinct aggregation, so salted_agg earns
+its keep for merge states the planner cannot split (collect-style
+accumulations, custom high-cardinality states), not for plain
+count_distinct.
 """
 
 from __future__ import annotations

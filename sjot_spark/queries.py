@@ -1890,8 +1890,11 @@ def q_pack_stats(spark, sf_dir):
     from sjot_spark.datapipe.pack import pack_stats
 
     docs = load(spark, sf_dir, "documents")
+    # budget 800 != the 1000 per-mille multiplier, so the oracle
+    # genuinely exercises the fill division (a budget equal to the
+    # multiplier would make fill_permille == len_sum on both engines)
     return pack_stats(docs, group="source", order="doc_id",
-                      length="n_chars", budget=1000)
+                      length="n_chars", budget=800)
 
 
 ORACLE_PACK_STATS = """
@@ -1900,9 +1903,9 @@ WITH packed AS (
          (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
             ROWS UNBOUNDED PRECEDING) - n_chars)::BIGINT AS off
   FROM documents)
-SELECT source, (off // 1000)::BIGINT AS bin,
+SELECT source, (off // 800)::BIGINT AS bin,
        COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS len_sum,
-       FLOOR(SUM(n_chars)::BIGINT * 1000 / 1000)::BIGINT AS fill_permille
+       FLOOR(SUM(n_chars)::BIGINT * 1000 / 800)::BIGINT AS fill_permille
 FROM packed GROUP BY 1, 2
 """
 
@@ -2020,7 +2023,8 @@ def q_repair_sets(spark, sf_dir):
 ORACLE_REPAIR_SETS = """
 SELECT CAST(doc_id AS VARCHAR) AS k,
        array_to_string(
-         list_sort([lang, source, CAST(doc_id % 97 AS VARCHAR)]), '|') AS s
+         list_sort([COALESCE(lang, ''), COALESCE(source, ''),
+                    CAST(doc_id % 97 AS VARCHAR)]), '|') AS s
 FROM documents WHERE doc_id < 500
 """
 
@@ -2138,3 +2142,27 @@ assert set(DRIVER_WINDOW) <= set(QUERIES), \
 _tail = [k for k in QUERIES if k not in set(DRIVER_WINDOW)]
 QUERIES = {k: QUERIES[k] for k in [*DRIVER_WINDOW, *_tail]}
 ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
+
+
+# ------------------------------ salted exact distinct (r4, tail)
+# (plan/agg.py salted_agg with the count_distinct algebra: exact
+# because hash-salting on the counted column partitions the distinct
+# value space into disjoint cells. Registered after DRIVER_WINDOW —
+# tail queries run through the identical local strict gate.)
+
+def q_salted_distinct(spark, sf_dir):
+    from sjot_spark.plan.agg import salted_agg
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    return salted_agg(
+        docs, ["source"], {"n_distinct_docs": ("count_distinct", "doc_id")},
+        n_salts=16, salt_on="doc_id")
+
+
+ORACLE_SALTED_DISTINCT = """
+SELECT source, COUNT(DISTINCT doc_id) AS n_distinct_docs
+FROM documents GROUP BY source
+"""
+
+QUERIES["salted_distinct"] = q_salted_distinct
+ORACLES["salted_distinct"] = ORACLE_SALTED_DISTINCT

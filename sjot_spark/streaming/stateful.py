@@ -74,7 +74,8 @@ def duplicate_stream(
 
 SESSION_OUTPUT_SCHEMA = ("user_id long, session_start_ms long, "
                          "session_end_ms long, n_events long")
-SESSION_STATE_SCHEMA = "start long, end long, n long"
+SESSION_STATE_SCHEMA = ("starts array<long>, ends array<long>, "
+                        "ns array<long>")
 
 
 def session_stream(
@@ -87,89 +88,82 @@ def session_stream(
     """Streaming sessionization with EVENT-TIME TIMEOUT — the
     streaming twin of the batch `sessionization` query (same gap
     rule): events for a user belong to one session while consecutive
-    gaps stay under ``gap_minutes``; a session is emitted when it
-    CLOSES, either because a later event in the same key opens the
-    next session, or because the watermark passes session_end + gap
-    (GroupStateTimeout.EventTimeTimeout — no more on-time events can
-    extend it). State per key is one open (start, end, n) triple —
-    O(active users), independent of stream length. Timestamps are
-    epoch millis (exact longs, no tz coupling)."""
+    gaps stay under ``gap_minutes``.
+
+    State per key is the LIST of open sessions — every session whose
+    gap horizon (end + gap) the watermark has not yet passed. Holding
+    a list (not a single open triple) is what makes cross-batch late
+    data correct: an event above the watermark but older than the
+    newest session may extend/merge ANY still-open session or open a
+    new earlier one, exactly as batch sessionization over the same
+    events would (r4; the single-triple r3 state either absorbed such
+    events silently or fragmented sessions the batch twin merges).
+    Each batch merges new events into the open set (standard interval
+    merge under the gap rule), emits every session whose horizon is
+    behind the watermark, and keeps the rest. Emission therefore
+    follows the watermark — the same append-mode discipline as
+    Spark's built-in session windows: a session is final only once no
+    on-time event can still extend it.
+
+    State is O(open sessions per key) ≤ 1 + watermark_delay/gap —
+    bounded by the lateness horizon, independent of stream length.
+    Timestamps are epoch millis (exact longs, no tz coupling)."""
     from typing import Iterator as _Iter
 
     gap_ms = gap_minutes * 60_000
+
+    def _emit_due(sessions: list, wm: int):
+        due = [s for s in sessions if s[1] + gap_ms <= wm]
+        kept = [s for s in sessions if s[1] + gap_ms > wm]
+        return due, kept
+
+    def _frame(uid, due: list) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [uid] * len(due),
+            "session_start_ms": [s[0] for s in due],
+            "session_end_ms": [s[1] for s in due],
+            "n_events": [s[2] for s in due]})
+
+    def _save(state: GroupState, kept: list, had_state: bool) -> None:
+        if kept:
+            state.update(([s[0] for s in kept], [s[1] for s in kept],
+                          [s[2] for s in kept]))
+            # horizons of kept sessions are > wm by construction, so
+            # the min is a legal timeout timestamp
+            state.setTimeoutTimestamp(min(s[1] for s in kept) + gap_ms)
+        elif had_state:
+            state.remove()
 
     def fn(
         key, pdfs: _Iter[pd.DataFrame], state: GroupState
     ) -> _Iter[pd.DataFrame]:
         (uid,) = key
+        had = state.exists
+        sessions: list[tuple[int, int, int]] = []
+        if had:
+            starts, ends, ns = state.get
+            sessions = [(int(s), int(e), int(c))
+                        for s, e, c in zip(starts, ends, ns)]
         if state.hasTimedOut:
-            start, end, n = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "user_id": [uid], "session_start_ms": [start],
-                "session_end_ms": [end], "n_events": [n]})
+            due, kept = _emit_due(sessions, state.getCurrentWatermarkMs())
+            _save(state, kept, had)
+            yield _frame(uid, due)
             return
         ts_all = []
         for pdf in pdfs:
             ts_all.extend(int(t) for t in pdf["_ts_ms"])
-        ts_all.sort()
-        closed_s, closed_e, closed_n = [], [], []
-        if state.exists:
-            start, end, n = state.get
-            # cross-batch late events OLDER than the open session's
-            # start must not be absorbed silently (they'd leave
-            # session_start_ms wrong — batch parity): sessionize them
-            # on their own; the trailing pre-session merges into the
-            # open session (lowering its start) only when it is
-            # within gap of it, otherwise it closes as its own
-            # earlier session, exactly as the batch twin would
-            before = [t for t in ts_all if t < start]
-            ts_all = [t for t in ts_all if t >= start]
-            if before:
-                s0 = e0 = before[0]
-                c0 = 1
-                for t in before[1:]:
-                    if t - e0 > gap_ms:
-                        closed_s.append(s0)
-                        closed_e.append(e0)
-                        closed_n.append(c0)
-                        s0, e0, c0 = t, t, 1
-                    else:
-                        e0, c0 = t, c0 + 1
-                if start - e0 <= gap_ms:
-                    start, n = s0, n + c0
-                else:
-                    closed_s.append(s0)
-                    closed_e.append(e0)
-                    closed_n.append(c0)
-        else:
-            start, end, n = ts_all[0], ts_all[0], 0
-        for t in ts_all:
-            if t - end > gap_ms:
-                closed_s.append(start)
-                closed_e.append(end)
-                closed_n.append(n)
-                start, end, n = t, t, 1
+        # interval merge under the gap rule: open sessions are
+        # disjoint and events are points; fold the start-sorted union
+        merged: list[tuple[int, int, int]] = []
+        for s, e, c in sorted(sessions + [(t, t, 1) for t in ts_all]):
+            if merged and s - merged[-1][1] <= gap_ms:
+                ps, pe, pc = merged[-1]
+                merged[-1] = (ps, max(pe, e), pc + c)
             else:
-                end, n = max(end, t), n + 1
-        wm = state.getCurrentWatermarkMs()
-        if end + gap_ms <= wm:
-            # the open session's horizon is already behind the
-            # watermark — no on-time event can extend it; close now
-            # (setTimeoutTimestamp below the watermark is an error)
-            closed_s.append(start)
-            closed_e.append(end)
-            closed_n.append(n)
-            if state.exists:
-                state.remove()
-        else:
-            state.update((start, end, n))
-            state.setTimeoutTimestamp(end + gap_ms)
-        yield pd.DataFrame({
-            "user_id": [uid] * len(closed_s),
-            "session_start_ms": closed_s,
-            "session_end_ms": closed_e,
-            "n_events": closed_n})
+                merged.append((s, e, c))
+        due, kept = _emit_due(merged, state.getCurrentWatermarkMs())
+        _save(state, kept, had)
+        yield _frame(uid, due)
 
     prepped = (
         sdf.withWatermark(ts_col, watermark)

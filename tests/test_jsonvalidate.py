@@ -278,3 +278,23 @@ console.log(JSON.stringify(docs.map(raw => {
     # reject; 1 is the disclosed flag-instead-of-validate divergence)
     # and agree on the plain-any doc
     assert flagged == {0, 1}
+
+
+def test_embedded_sjot_in_nested_any(spark):
+    """`any` nested inside arrays / tuples / unions also rejects
+    @sjot carriers (r4 review fix): the violation surfaces under the
+    enclosing node's check id (*_array / *_tuple / *_union) because
+    the carrier fails the `any` member predicate."""
+    carrier = '{"@sjot": {"@root": "string"}, "v": 1}'
+    spec = {"@root": "#T", "T": {"a?": "any[]", "u?": [["1..5", "any"]]}}
+    df = spark.createDataFrame(
+        [(1, f'{{"a": [1, {carrier}]}}'),      # carrier as array item
+         (2, '{"a": [1, {"v": 2}, "x"]}'),     # plain objects fine
+         (3, f'{{"u": {carrier}}}'),           # carrier via union any
+         (4, '{"u": {"v": 3}}'),               # union any accepts
+         (5, '{"u": 4}')],                     # union first member
+        "doc_id long, doc string")
+    got = {}
+    for r in validate_json_column(df, "doc", spec, key="doc_id").collect():
+        got.setdefault(int(r.key), set()).add(r.check_id)
+    assert got == {1: {"a_array"}, 3: {"u_union"}}

@@ -254,19 +254,29 @@ def test_streaming_session_cross_batch_late_event(spark, tmp_path):
     ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
         .coalesce(1).write.parquet(str(src / "f1"))
     # batch 2 — user 1: late 00:58 (within the 5-min gap of the open
-    # 01:00 start -> must LOWER start), and late 00:25 (older than
-    # 00:58 - gap -> its own immediately-closed session; still above
-    # the 00:20 watermark); user 9 pushes the watermark forward
+    # 01:00 session -> merges, lowering its start), and late 00:25
+    # (older than 00:58 - gap -> its own OPEN earlier session; still
+    # above the 00:20 watermark)
     spark.createDataFrame(
-        [(1, t % (0, 58)), (1, t % (0, 25)), (9, t % (3, 0))],
+        [(1, t % (0, 58)), (1, t % (0, 25))],
         "user_id long, ts_s string",
     ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
         .coalesce(1).write.parquet(str(src / "f2"))
-    # batch 3 — advance the watermark far past every horizon
+    # batch 3 — an even later late event 00:28 must MERGE into the
+    # still-open 00:25 pre-session (the r3 single-triple state
+    # fragmented this into two one-event sessions)
     spark.createDataFrame(
-        [(9, "2024-01-01 09:00:00")], "user_id long, ts_s string",
+        [(1, t % (0, 28))], "user_id long, ts_s string",
     ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
         .coalesce(1).write.parquet(str(src / "f3"))
+    # batches 4+5 — advance the watermark far past every horizon,
+    # then fire one more batch so the event-time timeout flushes
+    for i, stamp in ((4, "2024-01-01 09:00:00"),
+                     (5, "2024-01-01 09:30:00")):
+        spark.createDataFrame(
+            [(9, stamp)], "user_id long, ts_s string",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts")) \
+            .coalesce(1).write.parquet(str(src / f"f{i}"))
 
     sdf = (spark.readStream.schema("user_id long, ts timestamp")
            .option("maxFilesPerTrigger", 1)
@@ -283,7 +293,10 @@ def test_streaming_session_cross_batch_late_event(spark, tmp_path):
     t0 = 1704067200000  # 2024-01-01 00:00:00 UTC
     m = 60_000
     u1 = {g for g in got if g[0] == 1}
-    # 00:25 closes alone; 00:58 merges and LOWERS the open start
-    assert (1, t0 + 25 * m, t0 + 25 * m, 1) in u1
+    # 00:25 and the later-arriving 00:28 form ONE earlier session
+    # (no fragmentation); 00:58 merges into the open 01:00 session
+    # and LOWERS its start — exactly what batch sessionization over
+    # the same six events produces
+    assert (1, t0 + 25 * m, t0 + 28 * m, 2) in u1
     assert (1, t0 + 58 * m, t0 + 60 * m, 2) in u1
     assert len(u1) == 2
