@@ -94,21 +94,34 @@ def _is_integral(c: Column) -> Column:
 
 # ------------------------------------------------------- node predicate
 
-def _elem_pred_factory(node: TypeNode, resolve):
+OBJECT_RECURSION_DEPTH = 3
+
+
+def _elem_pred_factory(node: TypeNode, resolve, depth: int):
     """Closure factory (CLAUDE.md rule: higher-order-function lambdas
     must capture via closure, never default args — and must stay
     unary for arity inspection)."""
     def elem_ok(e: Column) -> Column:
-        return _vpred(node, e, _canon_tag(e), resolve)
+        return _vpred(node, e, _canon_tag(e), resolve, depth)
     return elem_ok
 
 
-def _vpred(t: TypeNode, sub: Column, tag: Column, resolve) -> Column:
+def _vpred(t: TypeNode, sub: Column, tag: Column, resolve,
+           depth: int = OBJECT_RECURSION_DEPTH) -> Column:
     """Pass-predicate for one type node over a variant sub-value.
     Assumes the value is PRESENT (callers null-guard). Mirrors
     compiler.scalar_pred, but where scalar_pred dispatches statically on
     the column's one Spark type, this dispatches on the per-row tag —
-    the lifted version of the reference's typeof switch."""
+    the lifted version of the reference's typeof switch.
+
+    ``depth`` bounds OBJECT recursion (r4): nested objects inside
+    arrays / tuples / union members get their props fully validated
+    (the reference recurses unboundedly, index.js:760-909) down to
+    ``depth`` object levels; below that an object is checked
+    shallowly (tag + required presence). The bound exists because a
+    column expression must be finite while SJOT specs may be
+    RECURSIVE (a tree type referencing itself); each object level
+    consumes one unit so self-referential specs terminate."""
     while isinstance(t, Ref):
         t = resolve(t.name)
     if isinstance(t, Range):
@@ -152,32 +165,46 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve) -> Column:
         # NB: `any` items are NOT skipped — _vpred(any) rejects
         # embedded-@sjot carriers, so any[] arrays still scan elements
         elems = F.try_variant_get(sub, "$", "array<variant>")
-        conds.append(F.forall(elems, _elem_pred_factory(item, resolve)))
+        conds.append(
+            F.forall(elems, _elem_pred_factory(item, resolve, depth)))
         return reduce(and_, conds)
     if isinstance(t, Tuple):
         elems = F.try_variant_get(sub, "$", "array<variant>")
         conds = [tag == F.lit("array"), F.size(elems) == len(t.items)]
         for i, it in enumerate(t.items):
             e = F.get(elems, i)
-            conds.append(_vpred(it, e, _canon_tag(e), resolve))
+            conds.append(_vpred(it, e, _canon_tag(e), resolve, depth))
         return reduce(and_, conds)
     if isinstance(t, ObjectT):
-        # shallow-plus-required for union members (the reference's
-        # object arm dispatches by discriminating prop, index.js:878-899);
-        # full recursive prop validation happens via path flattening in
-        # compile_json_checks for the root object
+        # r4: FULL depth-bounded prop validation, not just presence —
+        # the reference recurses into nested objects wherever they
+        # appear (array items, tuple slots, union members; its object
+        # arm discriminates then validates, index.js:878-899). The
+        # root object is still path-flattened by compile_json_checks
+        # (per-prop check ids); this branch covers objects nested
+        # inside values. Presence SETS (@one/@any/@all/@dep) apply at
+        # the root only — disclosed limit for nested objects.
         conds = [tag == F.lit("object")]
         for p in t.props:
-            if not p.optional and not p.is_regex:
+            if p.is_regex:
+                continue
+            psub = F.try_variant_get(sub, f"$.{p.name}", "variant")
+            if not p.optional:
+                conds.append(psub.isNotNull())
+            if depth > 0:
+                node = p.type
+                while isinstance(node, Ref):
+                    node = resolve(node.name)
+                pred = _vpred(node, psub, _canon_tag(psub), resolve,
+                              depth - 1)
                 conds.append(
-                    F.try_variant_get(sub, f"$.{p.name}", "variant")
-                    .isNotNull())
+                    F.when(psub.isNull(), F.lit(True)).otherwise(pred))
         return reduce(and_, conds)
     if isinstance(t, UnionT):
         # depth-1 try/catch: any member's FULL predicate passing
         # validates the value (index.js:793-846)
         return reduce(
-            or_, (_vpred(m, sub, tag, resolve) for m in t.members))
+            or_, (_vpred(m, sub, tag, resolve, depth) for m in t.members))
     if isinstance(t, Primitive):
         n = t.name
         if n in FORMAT_REGEX:

@@ -298,3 +298,78 @@ def test_embedded_sjot_in_nested_any(spark):
     for r in validate_json_column(df, "doc", spec, key="doc_id").collect():
         got.setdefault(int(r.key), set()).add(r.check_id)
     assert got == {1: {"a_array"}, 3: {"u_union"}}
+
+
+def test_nested_object_props_validated_in_arrays_and_unions(spark):
+    """r4: objects nested inside arrays / union members get FULL
+    depth-bounded prop validation (required presence AND per-prop
+    types), not just presence — matching the reference's unbounded
+    recursion (index.js:760-909) down to OBJECT_RECURSION_DEPTH."""
+    spec = {
+        "@root": "#T",
+        "T": {"items?": "#Item[]", "u?": [["1..5", {"w": "0..9"}]]},
+        "Item": {"id": "0..", "name?": "(n\\d+)"},
+    }
+    df = spark.createDataFrame(
+        [(1, '{"items": [{"id": 1, "name": "n1"}, {"id": 2}]}'),  # clean
+         (2, '{"items": [{"id": -1}]}'),          # id out of range
+         (3, '{"items": [{"name": "n1"}]}'),      # id missing
+         (4, '{"items": [{"id": 1, "name": "X"}]}'),  # name format
+         (5, '{"u": {"w": 3}}'),                  # union object ok
+         (6, '{"u": {"w": 77}}'),                 # union object w bad
+         (7, '{"u": 4}')],                        # union scalar ok
+        "doc_id long, doc string")
+    got = {}
+    for r in validate_json_column(df, "doc", spec, key="doc_id").collect():
+        got.setdefault(int(r.key), set()).add(r.check_id)
+    assert got == {2: {"items_array"}, 3: {"items_array"},
+                   4: {"items_array"}, 6: {"u_union"}}
+
+
+def test_recursive_spec_terminates_with_depth_bound(spark):
+    """A self-referential spec (tree type) compiles to a FINITE
+    expression: recursion stops at OBJECT_RECURSION_DEPTH and deeper
+    objects are checked shallowly (tag + required presence)."""
+    spec = {"@root": "#N", "N": {"v": "0..9", "kids?": "#N[]"}}
+    deep_ok = '{"v": 1, "kids": [{"v": 2, "kids": [{"v": 3}]}]}'
+    deep_bad = '{"v": 1, "kids": [{"v": 2, "kids": [{"v": 99}]}]}'
+    df = spark.createDataFrame(
+        [(1, deep_ok), (2, deep_bad)], "doc_id long, doc string")
+    got = {int(r.key) for r in validate_json_column(
+        df, "doc", spec, key="doc_id").collect()}
+    assert 1 not in got
+    assert 2 in got  # depth-2 nesting still within the bound
+
+
+@pytest.mark.skipif(node is None, reason="node not installed")
+def test_nested_object_reference_parity(spark):
+    """Node cross-check: verdicts for array-of-objects match the
+    actual reference validator."""
+    schema = {"T": {"items?": "#Item[]"},
+              "Item": {"id": "0..", "name?": "(n\\d+)"}}
+    docs = ['{"items": [{"id": 1, "name": "n1"}]}',
+            '{"items": [{"id": -1}]}',
+            '{"items": [{"name": "n1"}]}',
+            '{"items": [{"id": 1, "name": "X"}]}',
+            '{"items": []}',
+            '{}']
+    driver = r"""
+const SJOT = require("/root/reference/index.js");
+const input = JSON.parse(require("fs").readFileSync(0, "utf8"));
+console.log(JSON.stringify(input.docs.map(raw => {
+  try { return SJOT.valid(JSON.parse(raw), "#T", input.schema); }
+  catch (e) { return false; }
+})));
+"""
+    p = subprocess.run(
+        [node, "-e", driver],
+        input=json.dumps({"docs": docs, "schema": schema}).encode(),
+        capture_output=True, check=True)
+    ref = json.loads(p.stdout)
+    spec = {"@root": "#T", **schema}
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, doc string")
+    bad = {int(r.key) for r in validate_json_column(
+        df, "doc", spec, key="doc_id").collect()}
+    ours = [i not in bad for i in range(len(docs))]
+    assert ours == ref, list(zip(docs, ours, ref))
