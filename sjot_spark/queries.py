@@ -2166,3 +2166,51 @@ FROM documents GROUP BY source
 
 QUERIES["salted_distinct"] = q_salted_distinct
 ORACLES["salted_distinct"] = ORACLE_SALTED_DISTINCT
+
+
+# ---------------------------- int8 embedding quantization (r4, tail)
+# (datapipe/quantize.py: symmetric per-vector int8 — floor(y+0.5)
+# rounding so both engines agree bit-for-bit; verified in integer
+# space per vector.)
+
+def q_embed_quantize_stats(spark, sf_dir):
+    from sjot_spark.datapipe.quantize import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd = quantize_int8(emb, "embedding")
+    qc = F.col("q")
+    return qd.select(
+        "vec_id",
+        F.aggregate(qc, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qc).cast("int").alias("q_min"),
+        F.array_max(qc).cast("int").alias("q_max"),
+        F.size(F.filter(qc, lambda x: F.abs(x) == 127))
+        .cast("int").alias("n_sat"),
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+m AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+q AS (SELECT vec_id,
+             CASE WHEN mx = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(
+                         e, x -> CAST(FLOOR((x * 127.0) / mx + 0.5) AS INT))
+             END AS qv
+      FROM m)
+SELECT vec_id,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv)::INT AS q_min,
+       list_max(qv)::INT AS q_max,
+       list_sum(list_transform(qv, x -> CASE WHEN abs(x) = 127
+                                             THEN 1 ELSE 0 END))::INT AS n_sat
+FROM q
+"""
+
+QUERIES["embed_quantize_stats"] = q_embed_quantize_stats
+ORACLES["embed_quantize_stats"] = ORACLE_EMBED_QUANTIZE

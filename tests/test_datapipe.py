@@ -405,3 +405,21 @@ def test_ann_ivf_hashseed_recovers_clustered_neighbors(spark):
                                         k=3, nlist=6, nprobe=4).collect()}
     assert approx[(0, 1)] == exact[(0, 1)]
     assert approx[(1, 1)] == exact[(1, 1)]
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    """quantize/dequantize: |x - q*scale| <= scale/2 per coordinate;
+    values stay in [-127, 127]; zero vector -> zeros, scale 0."""
+    from sjot_spark.datapipe.quantize import dequantize, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [3.0])],
+        "id long, v array<double>")
+    q = dequantize(quantize_int8(df, "v"), "q", "scale", "back")
+    rows = {r.id: r for r in q.collect()}
+    assert rows[2].q == [0, 0] and rows[2].scale == 0.0
+    assert rows[3].q == [127]
+    for r in rows.values():
+        assert all(-127 <= x <= 127 for x in r.q)
+        for orig, back in zip(r.v, r.back):
+            assert abs(orig - back) <= r.scale / 2 + 1e-12
