@@ -228,6 +228,12 @@ def run_paired() -> dict:
         # means validation adds NO scaling penalty beyond reading input
         "vs_scan_efficiency": round(eff / scan_eff, 3) if scan_eff else None,
         "rows": BENCH_ROWS, "n": SCALE_N,
+        # methodology version for cross-round ledger comparisons:
+        # shape 1 = r1-r3 timed run (two actions: violations.count +
+        # verdicts.collect over a persisted intermediate); shape 2 =
+        # r4+ one-action run (verdicts subsume the violation count,
+        # persist off). Ledger rows without the field are shape 1.
+        "bench_shape": 2,
     }
 
 

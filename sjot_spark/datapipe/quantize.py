@@ -37,11 +37,14 @@ def quantize_int8(
 ) -> DataFrame:
     """Adds ``out_col`` (array<int>, values in [-127, 127]) and
     ``scale_col`` (double: max|x|/127; dequantize = q * scale). The
-    all-zero vector quantizes to zeros with scale 0. Inputs are cast
-    to double first so the arithmetic (and the oracle twin) is exact
-    float64 in both engines."""
+    all-zero vector quantizes to zeros with scale 0; the EMPTY vector
+    quantizes to an empty array with scale 0 (array_max of an empty
+    array is NULL, so max|x| is pinned to 0 for size-0 inputs — scale
+    would otherwise come back NULL). A NULL vector stays NULL q/scale.
+    Inputs are cast to double first so the arithmetic (and the oracle
+    twin) is exact float64 in both engines."""
     v = F.col(vec_col).cast("array<double>")
-    mx = _max_abs(v)
+    mx = F.when(F.size(v) == 0, F.lit(0.0)).otherwise(_max_abs(v))
 
     def q(x: Column) -> Column:
         return F.when(mx == 0.0, F.lit(0)).otherwise(

@@ -17,10 +17,14 @@ every check is a Column expression over ``try_variant_get`` /
                         is a VALUE property, ``data % 1 == 0``)
 - missing vs JSON null  SQL NULL from ``variant_get`` on an absent key
                         vs VOID tag for a present ``null``
-- union dispatch        OR over full member predicates == the
-                        reference's try-each-member-in-order semantics
-                        (first success wins; order only matters for
-                        WHICH member matched, reported by
+- union dispatch        @if/@then object members are DISCRIMINATED
+                        first (discriminator present + type-matching
+                        ⇒ that @then member decides, no fallback —
+                        index.js:878-900); the remaining members OR
+                        their full predicates == the reference's
+                        try-each-member-in-order semantics (first
+                        success wins; order only matters for WHICH
+                        member matched, reported by
                         ``union_dispatch_index``)
 
 No Python UDFs anywhere: the whole validation is one whole-stage-codegen
@@ -175,6 +179,12 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve,
             e = F.get(elems, i)
             conds.append(_vpred(it, e, _canon_tag(e), resolve, depth))
         return reduce(and_, conds)
+    if isinstance(t, ObjectT) and t.if_then:
+        # a lone @if/@then wrapper: discriminator must match and @then
+        # must validate (single-entry when-chain — the wrapper carries
+        # no type of its own; the reference only reads its @if/@then
+        # keys, index.js:1919-1983)
+        return _union_pred((t,), sub, tag, resolve, depth)
     if isinstance(t, ObjectT):
         # r4: FULL depth-bounded prop validation, not just presence —
         # the reference recurses into nested objects wherever they
@@ -183,7 +193,10 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve,
         # root object is still path-flattened by compile_json_checks
         # (per-prop check ids); this branch covers objects nested
         # inside values. Presence SETS (@one/@any/@all/@dep) apply at
-        # the root only — disclosed limit for nested objects.
+        # EVERY object level (r5): they are presence-only conditions
+        # (no recursion), so they hold even below the depth bound —
+        # root-path objects get theirs from compile_json_checks.walk,
+        # value-nested objects get them here.
         conds = [tag == F.lit("object")]
         for p in t.props:
             if p.is_regex:
@@ -199,12 +212,35 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve,
                               depth - 1)
                 conds.append(
                     F.when(psub.isNull(), F.lit(True)).otherwise(pred))
+
+        def pres(name: str) -> Column:
+            return F.try_variant_get(sub, f"$.{name}", "variant") \
+                .isNotNull()
+
+        for group in t.one:
+            n = reduce(Column.__add__,
+                       (pres(g).cast("int") for g in group))
+            conds.append(n == 1)
+        for group in t.any:
+            conds.append(reduce(or_, (pres(g) for g in group)))
+        for group in t.all:
+            n = reduce(Column.__add__,
+                       (pres(g).cast("int") for g in group))
+            conds.append((n == 0) | (n == len(group)))
+        for name, needs in t.dep:
+            conds.append(
+                F.when(~pres(name), F.lit(True)).otherwise(
+                    reduce(and_, (pres(d) for d in needs))))
         return reduce(and_, conds)
     if isinstance(t, UnionT):
-        # depth-1 try/catch: any member's FULL predicate passing
-        # validates the value (index.js:793-846)
-        return reduce(
-            or_, (_vpred(m, sub, tag, resolve, depth) for m in t.members))
+        # depth-1 try/catch for non-discriminated members: any member's
+        # FULL predicate passing validates the value (index.js:793-846).
+        # Object members with @if/@then are runtime-DISCRIMINATED
+        # (index.js:878-900, r5): when the object carries the @if prop
+        # AND that prop's value validates against its declared type in
+        # @then, the @then member DECIDES — no fallback to other
+        # members (mirrors the static compiler, compiler.py:226-262).
+        return _union_pred(t.members, sub, tag, resolve, depth)
     if isinstance(t, Primitive):
         n = t.name
         if n in FORMAT_REGEX:
@@ -242,6 +278,66 @@ def _vpred(t: TypeNode, sub: Column, tag: Column, resolve,
     raise SpecError(f"jsonvalidate: unsupported node {t!r}")
 
 
+def _union_members(members, sub, tag, resolve, depth):
+    """Partition union members into discriminated @if/@then entries and
+    fall-through predicates, mirroring the reference's union dispatch
+    tables (index.js:1975-1977 build t/v/d; index.js:878-900 consult
+    them BEFORE the try-all loop). Returns
+    ``(discriminated, fallthrough)`` where ``discriminated`` is
+    ``[(member_idx, cond, then_pred)]`` in declaration order — ``cond``
+    is "value is an object AND the @if prop is present AND the prop
+    value validates against its declared type in @then" (the reference
+    try/catches ``item[when]`` against ``union[n].v[i]``,
+    index.js:884-894) — and ``fallthrough`` is ``[(member_idx, pred)]``
+    for every non-discriminated member."""
+    discriminated, fallthrough = [], []
+    for idx, m in enumerate(members):
+        node = m
+        while isinstance(node, Ref):
+            node = resolve(node.name)
+        if isinstance(node, ObjectT) and node.if_then:
+            for ifprop, then in node.if_then:
+                then_node = then
+                while isinstance(then_node, Ref):
+                    then_node = resolve(then_node.name)
+                psub = F.try_variant_get(sub, f"$.{ifprop}", "variant")
+                cond = (tag == F.lit("object")) & psub.isNotNull()
+                p = (then_node.prop(ifprop)
+                     if isinstance(then_node, ObjectT) else None)
+                if p is not None:
+                    vnode = p.type
+                    while isinstance(vnode, Ref):
+                        vnode = resolve(vnode.name)
+                    cond = cond & F.coalesce(
+                        _vpred(vnode, psub, _canon_tag(psub), resolve,
+                               depth),
+                        F.lit(False))
+                discriminated.append((
+                    idx, cond,
+                    _vpred(then_node, sub, tag, resolve, depth)))
+            continue
+        fallthrough.append((idx, _vpred(node, sub, tag, resolve, depth)))
+    return discriminated, fallthrough
+
+
+def _union_pred(members, sub, tag, resolve, depth) -> Column:
+    """Union pass-predicate with forced-member @if/@then semantics: the
+    first matching discriminator DECIDES (its @then predicate is the
+    verdict, true or false — no fallback), otherwise any fall-through
+    member passing validates the value."""
+    discriminated, fallthrough = _union_members(
+        members, sub, tag, resolve, depth)
+    fall = (reduce(or_, (p for _, p in fallthrough))
+            if fallthrough else F.lit(False))
+    if not discriminated:
+        return fall
+    chain = None
+    for _, cond, then_p in discriminated:
+        chain = (F.when(cond, then_p) if chain is None
+                 else chain.when(cond, then_p))
+    return chain.otherwise(fall)
+
+
 def _no_embedded_sjot(sub: Column) -> Column:
     """Pass-predicate rejecting documents that carry an embedded
     runtime ``@sjot`` schema. The reference validates an object typed
@@ -273,12 +369,20 @@ def _check_class(t: TypeNode) -> str:
     return "type"
 
 
-def compile_json_checks(spec: CheckSpec, v: Column):
+def compile_json_checks(spec: CheckSpec, v: Column,
+                        object_depth: int = OBJECT_RECURSION_DEPTH):
     """Flatten the root object into path-addressed checks over the
     parsed variant ``v``. Returns ``[(check_id, pass_col)]`` in
     deterministic spec order. Check ids mirror the static compiler's
     naming (``{path}_required`` / ``{path}_type`` / ``{path}_range`` …)
-    with ``.``-joined nested paths."""
+    with ``.``-joined nested paths.
+
+    ``object_depth`` bounds recursion into objects nested inside
+    VALUES (array items / tuple slots / union members) — the root
+    object itself is path-flattened without consuming depth. See
+    ``_vpred``; raising it trades plan size for reference parity on
+    deeply nested documents (each level duplicates the nested check
+    subtree into the parent predicate)."""
     root = spec.root
     while isinstance(root, Ref):
         root = spec.resolve(root.name)
@@ -318,7 +422,7 @@ def compile_json_checks(spec: CheckSpec, v: Column):
                         _no_embedded_sjot(sub))))
                 continue
             cname = _check_class(node)
-            ok = _vpred(node, sub, tag, spec.resolve)
+            ok = _vpred(node, sub, tag, spec.resolve, object_depth)
             checks.append((
                 f"{pid}_{cname}",
                 F.when(~present, F.lit(True)).otherwise(ok)))
@@ -357,7 +461,8 @@ def compile_json_checks(spec: CheckSpec, v: Column):
         else:
             checks.append((
                 f"root_{_check_class(root)}",
-                _vpred(root, sub, _canon_tag(sub), spec.resolve)))
+                _vpred(root, sub, _canon_tag(sub), spec.resolve,
+                       object_depth)))
     return checks
 
 
@@ -369,6 +474,7 @@ def validate_json_column(
     spec: CheckSpec | dict,
     key: str,
     partition_by: str | None = None,
+    object_depth: int = OBJECT_RECURSION_DEPTH,
 ) -> DataFrame:
     """Typed violation rows ``(key, partition, check_id, detail)`` for a
     string column of JSON documents — same output contract as
@@ -388,7 +494,7 @@ def validate_json_column(
     checks = [(f"{json_col}_parse", parsed)]
     checks += [
         (cid, F.when(doc_null | ~parsed, F.lit(True)).otherwise(c))
-        for cid, c in compile_json_checks(spec, v)
+        for cid, c in compile_json_checks(spec, v, object_depth)
     ]
     part_col = (F.col(partition_by) if partition_by
                 else F.lit("_all")).cast("string")
@@ -449,11 +555,16 @@ def union_dispatch_index(
     spec: CheckSpec | dict,
     prop: str,
     key: str,
+    object_depth: int = OBJECT_RECURSION_DEPTH,
 ) -> DataFrame:
     """Which union member validated each row's ``prop`` value —
     1-based FIRST match in member order (the reference tries members in
     declaration order and the first success returns,
     index.js:793-846); 0 = no member matched (the union error path).
+    @if/@then members are checked FIRST (the reference consults the
+    discriminator tables before try-all, index.js:878-900): the first
+    matching discriminator decides — its member index if @then
+    validates, else 0 (forced member; no fallback).
     Returns ``(key, member)``."""
     if not isinstance(spec, CheckSpec):
         spec = CheckSpec(spec)
@@ -471,11 +582,20 @@ def union_dispatch_index(
     v = F.try_parse_json(F.col(json_col))
     sub = F.try_variant_get(v, f"$.{prop}", "variant")
     tag = _canon_tag(sub)
+    discriminated, fallthrough = _union_members(
+        node.members, sub, tag, spec.resolve, object_depth)
     expr = F.lit(0)
-    for i in range(len(node.members) - 1, -1, -1):
-        m = _vpred(node.members[i], sub, tag, spec.resolve)
-        expr = F.when(F.coalesce(m, F.lit(False)), F.lit(i + 1)) \
+    for i, p in reversed(fallthrough):
+        expr = F.when(F.coalesce(p, F.lit(False)), F.lit(i + 1)) \
             .otherwise(expr)
+    # discriminators wrap the fall-through chain so they are checked
+    # first; a matching discriminator is terminal either way
+    for i, cond, then_p in reversed(discriminated):
+        expr = F.when(
+            F.coalesce(cond, F.lit(False)),
+            F.when(F.coalesce(then_p, F.lit(False)), F.lit(i + 1))
+            .otherwise(F.lit(0)),
+        ).otherwise(expr)
     return df.select(
         F.col(key).cast("string").alias("key"),
         F.when(sub.isNull(), F.lit(-1)).otherwise(expr).alias("member"),

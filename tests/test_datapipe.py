@@ -413,12 +413,18 @@ def test_quantize_int8_roundtrip_bound(spark):
     from sjot_spark.datapipe.quantize import dequantize, quantize_int8
 
     df = spark.createDataFrame(
-        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [3.0])],
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [3.0]),
+         (4, []), (5, None)],
         "id long, v array<double>")
     q = dequantize(quantize_int8(df, "v"), "q", "scale", "back")
     rows = {r.id: r for r in q.collect()}
     assert rows[2].q == [0, 0] and rows[2].scale == 0.0
     assert rows[3].q == [127]
+    # empty vector: empty q, scale pinned to 0 (not NULL)
+    assert rows[4].q == [] and rows[4].scale == 0.0
+    # NULL vector propagates NULL
+    assert rows[5].q is None and rows[5].scale is None
+    del rows[4], rows[5]
     for r in rows.values():
         assert all(-127 <= x <= 127 for x in r.q)
         for orig, back in zip(r.v, r.back):

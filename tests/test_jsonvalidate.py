@@ -373,3 +373,156 @@ console.log(JSON.stringify(input.docs.map(raw => {
         df, "doc", spec, key="doc_id").collect()}
     ours = [i not in bad for i in range(len(docs))]
     assert ours == ref, list(zip(docs, ours, ref))
+
+
+# ------------------------- r5: @if/@then forced-member union dispatch
+
+IFTHEN_SPEC = {
+    "@root": "#T",
+    "T": {"v": [[
+        {"@if": "kind", "@then": {"kind": "string", "n": "1..10"}},
+        {"other": "boolean"},
+    ]]},
+}
+IFTHEN_DOCS = [
+    (0, '{"v": {"kind": "x", "n": 5}}'),          # @then validates
+    (1, '{"v": {"kind": "x", "n": 50, "other": true}}'),  # forced: @then
+    #    FAILS and member B must NOT rescue it (reference rejects)
+    (2, '{"v": {"kind": 5, "other": true}}'),     # @if prop wrong type ->
+    #    discriminator does not fire -> falls through to B -> valid
+    (3, '{"v": {"other": true}}'),                # no @if prop -> B
+    (4, '{"v": {"neither": 1}}'),                 # nothing matches
+    (5, '{"v": {"kind": "x"}}'),                  # @then: n required missing
+]
+
+
+def test_union_if_then_forced_member(spark):
+    """An object matching a member's @if discriminator is validated by
+    that member's @then ONLY — no fallback to other members
+    (index.js:878-900: the t/v/d tables are consulted before try-all
+    and a matching discriminator returns @then's verdict)."""
+    df = spark.createDataFrame(IFTHEN_DOCS, "doc_id long, doc string")
+    bad = {int(r.key) for r in validate_json_column(
+        df, "doc", IFTHEN_SPEC, key="doc_id").collect()}
+    assert bad == {1, 4, 5}
+
+
+@pytest.mark.skipif(node is None, reason="node not installed")
+def test_union_if_then_reference_cross_check(spark):
+    """The exact divergence ADVICE r4 #2 named: a doc that matches A's
+    @if but only validates against B is REJECTED by the reference —
+    and now by the engine."""
+    driver = r"""
+const SJOT = require("/root/reference/index.js");
+const input = JSON.parse(require("fs").readFileSync(0, "utf8"));
+console.log(JSON.stringify(input.docs.map(raw => {
+  try { return SJOT.valid(JSON.parse(raw), "#T", input.schema); }
+  catch (e) { return false; }
+})));
+"""
+    schema = {k: v for k, v in IFTHEN_SPEC.items() if k != "@root"}
+    p = subprocess.run(
+        [node, "-e", driver],
+        input=json.dumps(
+            {"docs": [d for _, d in IFTHEN_DOCS], "schema": schema},
+        ).encode(),
+        capture_output=True, check=True)
+    ref = json.loads(p.stdout)
+    df = spark.createDataFrame(IFTHEN_DOCS, "doc_id long, doc string")
+    bad = {int(r.key) for r in validate_json_column(
+        df, "doc", IFTHEN_SPEC, key="doc_id").collect()}
+    ours = [k not in bad for k, _ in IFTHEN_DOCS]
+    assert ours == ref, list(zip([k for k, _ in IFTHEN_DOCS], ours, ref))
+
+
+def test_union_dispatch_index_if_then(spark):
+    """Dispatch reporting under forced-member semantics: a matching
+    discriminator is terminal — member index if @then validates, 0 if
+    it fails (never the fall-through member)."""
+    df = spark.createDataFrame(IFTHEN_DOCS, "doc_id long, doc string")
+    got = {int(r.key): r.member for r in union_dispatch_index(
+        df, "doc", IFTHEN_SPEC, "v", "doc_id").collect()}
+    assert got == {0: 1, 1: 0, 2: 2, 3: 2, 4: 0, 5: 0}
+
+
+# --------------------------------- r5: caller-tunable object depth
+
+DEPTH_SPEC = {
+    "@root": "#T",
+    "T": {"xs": "#L1[]"},
+    "L1": {"a": "#L2"}, "L2": {"b": "#L3"}, "L3": {"c": "#L4"},
+    "L4": {"n": "1..5"},
+}
+DEPTH_DOCS = [
+    (0, '{"xs": [{"a": {"b": {"c": {"n": 3}}}}]}'),     # clean
+    (1, '{"xs": [{"a": {"b": {"c": {"n": "xx"}}}}]}'),  # L4 type wrong
+    (2, '{"xs": [{"a": {"b": {"c": {}}}}]}'),           # L4 n missing
+]
+
+
+def test_object_depth_boundary_and_override(spark):
+    """The depth bound is caller-tunable (validate_json_column
+    object_depth). At the DEFAULT depth 3, an object 4 levels below a
+    value (array item -> a -> b -> c) is checked shallowly: required
+    presence still applies (doc 2 caught) but per-prop TYPES do not
+    (doc 1 passes — the precisely-characterized divergence from the
+    reference's unbounded recursion). At object_depth=4 the type check
+    reaches L4 and doc 1 is caught, matching the reference."""
+    df = spark.createDataFrame(DEPTH_DOCS, "doc_id long, doc string")
+    bad_default = {int(r.key) for r in validate_json_column(
+        df, "doc", DEPTH_SPEC, key="doc_id").collect()}
+    assert bad_default == {2}  # presence yes, type no at depth 4
+    bad_deep = {int(r.key) for r in validate_json_column(
+        df, "doc", DEPTH_SPEC, key="doc_id", object_depth=4).collect()}
+    assert bad_deep == {1, 2}
+
+
+@pytest.mark.skipif(node is None, reason="node not installed")
+def test_object_depth4_reference_parity(spark):
+    """Node cross-check at depth 4: with object_depth=4 the engine's
+    verdicts match the reference's unbounded recursion on the depth
+    fixture."""
+    driver = r"""
+const SJOT = require("/root/reference/index.js");
+const input = JSON.parse(require("fs").readFileSync(0, "utf8"));
+console.log(JSON.stringify(input.docs.map(raw => {
+  try { return SJOT.valid(JSON.parse(raw), "#T", input.schema); }
+  catch (e) { return false; }
+})));
+"""
+    schema = {k: v for k, v in DEPTH_SPEC.items() if k != "@root"}
+    p = subprocess.run(
+        [node, "-e", driver],
+        input=json.dumps(
+            {"docs": [d for _, d in DEPTH_DOCS], "schema": schema},
+        ).encode(),
+        capture_output=True, check=True)
+    ref = json.loads(p.stdout)
+    df = spark.createDataFrame(DEPTH_DOCS, "doc_id long, doc string")
+    bad = {int(r.key) for r in validate_json_column(
+        df, "doc", DEPTH_SPEC, key="doc_id", object_depth=4).collect()}
+    ours = [k not in bad for k, _ in DEPTH_DOCS]
+    assert ours == ref, list(zip([k for k, _ in DEPTH_DOCS], ours, ref))
+
+
+def test_nested_union_member_propsets(spark):
+    """r5: presence sets (@one here) apply to objects nested inside
+    VALUES (union members / array items), not just root-path objects —
+    they are presence-only so they hold even below the depth bound."""
+    spec = {
+        "@root": "#U",
+        "U": {"box": [[
+            {"p?": "number", "q?": "number", "@one": [["p", "q"]],
+             "tagged": "boolean"},
+            "string",
+        ]]},
+    }
+    df = spark.createDataFrame(
+        [(0, '{"box": {"tagged": true, "p": 1}}'),        # ok
+         (1, '{"box": {"tagged": true, "p": 1, "q": 2}}'),  # @one violated
+         (2, '{"box": "s"}'),                             # scalar member
+         (3, '{"box": {"tagged": true}}')],               # @one: none
+        "doc_id long, doc string")
+    bad = {int(r.key) for r in validate_json_column(
+        df, "doc", spec, key="doc_id").collect()}
+    assert bad == {1, 3}
