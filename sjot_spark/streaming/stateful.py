@@ -9,17 +9,21 @@ keying are stable regardless of key cardinality, and each bucket's
 state holds the set of keys seen so far.
 
 Scale note: per-bucket exact sets bound memory at (distinct keys /
-n_buckets); for 10^12-key streams swap the exact set for a serialized
-Bloom filter in the same state slot (one-line kernel change — the
-operator shape, shuffle, and state plumbing are identical), trading
-exactness for fixed memory, and reconcile exactly offline with the
-batch uniqueness pass.
+n_buckets); for 10^12-key streams pass ``state_mode="bloom"`` — the
+same state slot holds a serialized Bloom filter (fixed
+``bloom_bits/8`` bytes per bucket regardless of key count), trading
+exactness for bounded memory. The Bloom variant never misses a true
+duplicate (no false negatives); false positives are reconciled
+exactly offline with the batch uniqueness pass
+(engine._unique_violations over the sink): FP = flagged − exact-dups.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,14 +31,61 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key string, n_prior long"
 STATE_SCHEMA = "seen array<string>"
+BLOOM_STATE_SCHEMA = "filter binary"
+
+
+def _bloom_offsets(key: str, bits: int, k: int) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing: k bit offsets from one md5.
+    Deterministic across processes (no PYTHONHASHSEED coupling). The
+    stride is forced odd so it is coprime with power-of-two ``bits``
+    and the k probes never collapse onto one bit."""
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _bloom_check_insert(
+    arr: np.ndarray, key: str, bits: int, k: int
+) -> bool:
+    """True iff every probe bit was ALREADY set (key probably seen);
+    always leaves all probe bits set afterwards. ``arr`` is the
+    bits/8-byte filter, mutated in place."""
+    hit = True
+    for off in _bloom_offsets(key, bits, k):
+        byte, mask = off >> 3, 1 << (off & 7)
+        if not (arr[byte] & mask):
+            hit = False
+            arr[byte] |= mask
+    return hit
 
 
 def duplicate_stream(
-    sdf: DataFrame, key_col: str, n_buckets: int = 64
+    sdf: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    state_mode: str = "exact",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 7,
 ) -> DataFrame:
     """Streaming DataFrame of keys that were already seen in an
     EARLIER micro-batch (or earlier in the same batch), with how many
-    times they had been seen before."""
+    times they had been seen before.
+
+    ``state_mode="exact"`` keeps a per-bucket key->count dict (exact
+    ``n_prior``, state grows with distinct keys). ``state_mode="bloom"``
+    keeps a fixed-size Bloom filter per bucket: flagged rows carry
+    ``n_prior = -1`` ("seen before, count unknown"), true duplicates
+    are never missed, and a false-positive rate of roughly
+    ``(1 - e^(-k*n/m))^k`` (n keys per bucket, m = bloom_bits,
+    k = bloom_hashes; default 8 MiB / 7 hashes ≈ 1e-5 at 1M keys per
+    bucket) applies — reconcile exactly offline against the batch
+    uniqueness pass."""
+    if state_mode not in ("exact", "bloom"):
+        raise ValueError(f"state_mode must be exact|bloom, got {state_mode!r}")
+    if state_mode == "bloom":
+        return _duplicate_stream_bloom(
+            sdf, key_col, n_buckets, bloom_bits, bloom_hashes)
 
     def detect(
         bucket, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -67,6 +118,46 @@ def duplicate_stream(
         detect,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _duplicate_stream_bloom(
+    sdf: DataFrame, key_col: str, n_buckets: int,
+    bloom_bits: int, bloom_hashes: int,
+) -> DataFrame:
+    """Bloom-state twin of duplicate_stream: same shuffle keying and
+    output schema, state fixed at bloom_bits/8 bytes per bucket."""
+    if bloom_bits & (bloom_bits - 1):
+        raise ValueError("bloom_bits must be a power of two")
+    n_bytes = bloom_bits >> 3
+
+    def detect(
+        bucket, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (buf,) = state.get
+            arr = np.frombuffer(buf, dtype=np.uint8).copy()
+        else:
+            arr = np.zeros(n_bytes, dtype=np.uint8)
+        flagged: list[str] = []
+        for pdf in pdfs:
+            for k in pdf[key_col].astype(str):
+                if _bloom_check_insert(arr, k, bloom_bits, bloom_hashes):
+                    flagged.append(k)
+        state.update((arr.tobytes(),))
+        yield pd.DataFrame(
+            {"key": flagged, "n_prior": [-1] * len(flagged)})
+
+    bucketed = sdf.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        detect,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -300,3 +300,104 @@ def test_streaming_session_cross_batch_late_event(spark, tmp_path):
     assert (1, t0 + 25 * m, t0 + 28 * m, 2) in u1
     assert (1, t0 + 58 * m, t0 + 60 * m, 2) in u1
     assert len(u1) == 2
+
+
+def test_bloom_duplicate_stream_no_false_negatives(spark, tmp_path):
+    """state_mode='bloom': same scenario as the exact test — every
+    true duplicate is flagged (n_prior=-1), filter large enough that
+    no false positive can fire on 4 distinct keys."""
+    from sjot_spark.streaming.stateful import duplicate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",)], "doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("c",), ("d",), ("a",)], "doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("doc_id string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    dups = duplicate_stream(sdf, "doc_id", n_buckets=4,
+                            state_mode="bloom", bloom_bits=1 << 16)
+    q = (dups.writeStream.format("memory").queryName("bloommem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from bloommem").collect()
+    assert all(r.n_prior == -1 for r in rows)
+    flagged = sorted(r.key for r in rows)
+    # a flagged twice (in-batch dup + batch-2 reappearance), c once
+    assert flagged == ["a", "a", "c"]
+
+
+def test_bloom_state_bounded_and_fp_rate():
+    """The Bloom kernel's state is FIXED memory regardless of key
+    count, with the predicted false-positive rate: 10k inserts into a
+    2^17-bit / 7-hash filter -> (1-e^(-kn/m))^k ~= 0.2% FP."""
+    import numpy as np
+    from sjot_spark.streaming.stateful import _bloom_check_insert
+
+    bits, k = 1 << 17, 7
+    arr = np.zeros(bits >> 3, dtype=np.uint8)
+    # a fresh key CAN collide during the fill (that IS the FP), so
+    # count first-insert hits rather than forbidding them
+    fill_fps = sum(_bloom_check_insert(arr, f"in{i}", bits, k)
+                   for i in range(10_000))
+    assert fill_fps < 100
+    assert arr.nbytes == bits >> 3  # fixed memory after 10k inserts
+    # re-probing any inserted key always hits (no false negatives)
+    probe = arr.copy()
+    assert all(_bloom_check_insert(probe, f"in{i}", bits, k)
+               for i in range(0, 10_000, 97))
+    # fresh keys: FP rate within 5x of the analytic 0.2%
+    fps = sum(_bloom_check_insert(arr.copy(), f"out{i}", bits, k)
+              for i in range(10_000))
+    assert fps < 100  # < 1%
+
+
+def test_bloom_fp_offline_reconciliation(spark, tmp_path):
+    """A deliberately tiny filter forces false positives; the batch
+    uniqueness pass reconciles them exactly: flagged = true-dups + FPs,
+    and flagged - batch-exact-dups isolates the FPs (no true dup is
+    ever missed)."""
+    from sjot_spark.streaming.stateful import duplicate_stream
+
+    keys1 = [f"k{i}" for i in range(40)]
+    keys2 = [f"m{i}" for i in range(15)] + ["k3", "k17"]  # 2 true dups
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(k,) for k in keys1], "doc_id string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(k,) for k in keys2], "doc_id string") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("doc_id string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    dups = duplicate_stream(sdf, "doc_id", n_buckets=2,
+                            state_mode="bloom", bloom_bits=64,
+                            bloom_hashes=2)
+    q = (dups.writeStream.format("memory").queryName("fpmem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    flagged = {r.key for r in spark.sql("select * from fpmem").collect()}
+
+    # offline reconciliation: exact duplicates from the batch pass
+    batch = spark.read.parquet(str(src / "*"))
+    exact_dups = {
+        r.doc_id for r in batch.groupBy("doc_id").count()
+        .where(F.col("count") > 1).collect()
+    }
+    assert exact_dups == {"k3", "k17"}
+    assert exact_dups <= flagged        # no false negatives, ever
+    false_positives = flagged - exact_dups
+    # 55 distinct keys vs 2x32-bit buckets: saturation makes FPs
+    # certain; reconciliation identifies every one of them
+    assert false_positives
+    assert false_positives.isdisjoint(exact_dups)
