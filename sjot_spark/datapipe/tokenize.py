@@ -1,11 +1,14 @@
 """Deterministic tokenization: text -> (tokens:array<int>, n_tok) in
 the engine's input_hint shape.
 
-The "tokenizer" is whitespace split + md5-derived vocab-id hashing —
-a stand-in with the exact plumbing of a real BPE step (the swap point
-is one Column expression / pandas-UDF kernel). Being md5-based, the
-token ids are engine-independent, so the pipeline is DuckDB-oracle
-checkable end to end.
+This module's "tokenizer" is whitespace split + md5-derived vocab-id
+hashing — engine-independent ids, so the pipeline is DuckDB-oracle
+checkable end to end. The BPE swap point documented here since r2 is
+now CLOSED: datapipe.bpe provides a real Sennrich merge-table trainer
+(Spark pair-count aggregation + bounded driver merge loop) and a pure
+Column-expression apply path (bpe_segment_expr /
+tokenize_documents_bpe) that plugs into the same pretokenize() split
+below, with its own value-exact DuckDB oracle (bpe_tokenize_stats).
 """
 
 from __future__ import annotations

@@ -1082,6 +1082,67 @@ QUERIES["bpe_pretoken_stats"] = q_bpe_pretoken_stats
 ORACLES["bpe_pretoken_stats"] = _oracle_bpe_pretokens()
 
 
+def q_bpe_tokenize_stats(spark, sf_dir):
+    """REAL BPE tokenization (datapipe.bpe): pre-tokenize, segment
+    each DISTINCT pre-token once through the contract-pinned trained
+    merge table (segmentation cost scales with word TYPES, not
+    occurrences — the 100 TB shape), then weighted per-source token
+    stats. The oracle replays the identical spaced-replace fold in
+    DuckDB, so the SPLIT ITSELF is value-checked (sum of md5 ids over
+    token instances), not just counts."""
+    from sjot_spark.datapipe.bpe import SEP, bpe_segment_expr, default_merges
+    from sjot_spark.datapipe.tokenize import pretokenize, token_id_expr
+
+    docs = load(spark, sf_dir, "documents")
+    clean = F.replace(F.col("text"), F.lit(SEP), F.lit(""))
+    pre = docs.select("source", F.explode(pretokenize(clean)).alias("w"))
+    wt = pre.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    seg = wt.select(
+        "source", "c",
+        bpe_segment_expr(F.col("w"), default_merges()).alias("toks"))
+    # explode_OUTER on purpose: a plain explode makes Catalyst push its
+    # implicit size(toks)>0 pre-filter below the (source, w) groupBy,
+    # re-evaluating the whole merge fold once per pre-token OCCURRENCE;
+    # segmentation of a non-empty pre-token is never empty, so outer
+    # explode is value-identical and keeps the fold per word TYPE
+    # (plan-asserted in tests/test_plans.py).
+    flat = seg.select("source", "c", F.explode_outer("toks").alias("tok"))
+    return flat.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_token_types"),
+        F.sum(F.col("c") * token_id_expr(F.col("tok")).cast("long"))
+        .alias("sum_tok_ids"),
+        F.max(F.length("tok")).cast("long").alias("max_tok_len"),
+    )
+
+
+def _oracle_bpe_tokenize() -> str:
+    from sjot_spark.datapipe.bpe import default_merges, segment_sql
+    from sjot_spark.datapipe.tokenize import BPE_PRETOKEN_RE, _WS
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    seg = segment_sql("w", default_merges())
+    return rf"""
+WITH tok AS (
+  SELECT source,
+         list_filter(regexp_extract_all(replace(text, chr(31), ''), '{pat}'),
+                     x -> NOT regexp_full_match(x, '[{_WS}]+')) AS t
+  FROM documents),
+pre AS (SELECT source, unnest(t) AS w FROM tok),
+flat AS (SELECT source, unnest({seg}) AS tok FROM pre)
+SELECT source, COUNT(*)::BIGINT AS n_tokens,
+       COUNT(DISTINCT tok)::BIGINT AS n_token_types,
+       SUM(('0x'||substr(md5(tok),1,15))::BIGINT % 50257)::BIGINT
+         AS sum_tok_ids,
+       MAX(length(tok))::BIGINT AS max_tok_len
+FROM flat GROUP BY source
+"""
+
+
+QUERIES["bpe_tokenize_stats"] = q_bpe_tokenize_stats
+ORACLES["bpe_tokenize_stats"] = _oracle_bpe_tokenize()
+
+
 def _oracle_minhash() -> str:
     """The full MinHash+LSH pipeline in SQL: the md5-based hash family
     and linear permutations are engine-independent by construction, so
@@ -2287,7 +2348,8 @@ ORACLES["json_if_then"] = ORACLE_JSON_IF_THEN
 #       +salted_distinct (displaces near-twin part_supplier_distinct)
 #       — after r5 EVERY registered query has been driver-gated at
 #       least once — plus the new r5 registrations: json_if_then
-#       (displaces family-twin json_union_dispatch).
+#       (displaces family-twin json_union_dispatch) and
+#       bpe_tokenize_stats (displaces family-twin bpe_pretoken_stats).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -2299,9 +2361,10 @@ DRIVER_WINDOW = [
     # per-row JSON / variant validation
     "json_validate", "json_if_then", "json_embedded_sjot",
     "events_props_validate", "events_json_props",
-    # text analysis + tokenization
+    # text analysis + tokenization (bpe_tokenize_stats displaces its
+    # family twin bpe_pretoken_stats, driver-green r1-r4)
     "text_profile", "lang_id_counts", "quality_classes",
-    "tokenize_stats", "bpe_pretoken_stats",
+    "tokenize_stats", "bpe_tokenize_stats",
     # dedup family
     "exact_dedup_stats", "exact_dup_groups", "ngram_jaccard",
     "minhash_lsh", "simhash_pairs", "dedup_clusters",

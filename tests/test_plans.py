@@ -218,3 +218,22 @@ def test_json_validation_is_shuffle_free(spark):
     }
     assert all(op.endswith("Project") for op in ops_with_parse), ops_with_parse
     assert len(ops_with_parse) <= 1, ops_with_parse
+
+
+def test_bpe_fold_runs_once_per_word_type(spark):
+    """bpe_tokenize_stats plan contract: the merge-table fold (the
+    expensive per-token expression) must appear in exactly ONE
+    operator, evaluated AFTER the (source, word) aggregation — i.e.
+    once per word TYPE, never per occurrence. A plain explode lets
+    Catalyst push its size()>0 pre-filter below the groupBy and
+    re-evaluate the fold per occurrence (the shape this test bans)."""
+    from sjot_spark.queries import QUERIES
+
+    df = QUERIES["bpe_tokenize_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate([") == 1, plan
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # the fold must live in the Generate above the word-type agg, and
+    # nothing below the first HashAggregate may mention it
+    below_first_agg = phys.split("HashAggregate")[-1]
+    assert "aggregate([" not in below_first_agg
