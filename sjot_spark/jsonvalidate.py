@@ -353,6 +353,27 @@ def _no_embedded_sjot(sub: Column) -> Column:
     return F.try_variant_get(sub, "$['@sjot']", "variant").isNull()
 
 
+UNVALIDATABLE_SUFFIX = "_embedded_sjot"
+
+
+def classify_violations(vdf: DataFrame) -> DataFrame:
+    """Add a ``verdict_class`` column distinguishing the two kinds of
+    violation rows validate_json_column emits: ``'invalid'`` (the data
+    definitively breaks the spec) vs ``'unvalidatable'`` (an embedded
+    ``@sjot`` carrier this compiled plan deliberately refuses to
+    accept as ``any`` — see _no_embedded_sjot; the reference would
+    validate it against its own carried schema, so route these rows
+    to run_dispatched / per-partition overrides instead of rejecting
+    the data). Additive: the base (key, partition, check_id, detail)
+    contract is unchanged, and the tag is a pure Column expression
+    derived from check_id."""
+    return vdf.withColumn(
+        "verdict_class",
+        F.when(F.col("check_id").endswith(UNVALIDATABLE_SUFFIX),
+               F.lit("unvalidatable")).otherwise(F.lit("invalid")),
+    )
+
+
 # ----------------------------------------------------------- check list
 
 _CLASS_OF = [

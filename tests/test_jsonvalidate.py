@@ -526,3 +526,29 @@ def test_nested_union_member_propsets(spark):
     bad = {int(r.key) for r in validate_json_column(
         df, "doc", spec, key="doc_id").collect()}
     assert bad == {1, 3}
+
+
+def test_classify_violations_routes_carriers(spark):
+    """classify_violations tags embedded-@sjot carrier rows
+    'unvalidatable' (route to run_dispatched, don't reject the data)
+    and every other violation 'invalid'; the base 4-column contract
+    is unchanged."""
+    from sjot_spark.jsonvalidate import classify_violations
+
+    spec = {"@root": "#T", "T": {"k": "0..79", "p?": "any"}}
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "p": {"@sjot": {"@root": "string"}, "v": 1}}'),
+         (2, '{"k": 999}'),
+         (3, 'not json')],
+        "doc_id long, doc string")
+    vdf = classify_violations(
+        validate_json_column(df, "doc", spec, key="doc_id"))
+    assert vdf.columns == ["key", "partition", "check_id", "detail",
+                           "verdict_class"]
+    got = {(int(r.key), r.check_id, r.verdict_class)
+           for r in vdf.collect()}
+    assert got == {
+        (1, "p_embedded_sjot", "unvalidatable"),
+        (2, "k_range", "invalid"),
+        (3, "doc_parse", "invalid"),
+    }
