@@ -107,6 +107,9 @@ DRIVER_QUERIES = [
     # round 3: per-row JSON validation (variant), CC clustering,
     # as-of join — suite total grows accordingly vs BENCH_r02
     "json_validate", "dedup_clusters", "events_asof",
+    # round 5: real BPE tokenization (suite total grows by one query
+    # vs BENCH_r04 — compare per-query timings across rounds)
+    "bpe_tokenize_stats",
 ]
 
 
