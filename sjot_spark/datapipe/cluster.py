@@ -97,6 +97,53 @@ def connected_components(
     return labels.select("v", F.col("l").alias("cluster_id"))
 
 
+def canonical_per_cluster(
+    comp: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Representative selection — the step AFTER clustering: each
+    near-dup cluster keeps its best-quality member and drops the rest.
+    ``comp`` is ``(v, cluster_id)`` from :func:`connected_components`;
+    ``scores`` carries ``(id_col, score_col)``. Returns
+    ``(cluster_id, canonical_id, n_members, best_score)`` with the
+    canonical member = argmax(score), ties broken to the SMALLEST id
+    (deterministic, engine-independent).
+
+    Spark-first shape: the argmax is ``max(struct(score, -id))`` — a
+    plain lexicographic max, so it rides the same map-side-combined
+    aggregation as the member count (ONE shuffle on cluster_id, no
+    window, no second pass). A window formulation (row_number over
+    cluster) would shuffle the same rows but sort them per partition
+    and cannot partial-aggregate; at 10^9 clusters the struct-max is
+    the plan you want. The preceding comp⋈scores join is id-on-id:
+    co-partitioned if both sides share the dedup pipeline's
+    partitioning, a plain shuffle join otherwise.
+    """
+    j = comp.join(
+        scores.select(
+            F.col(id_col).alias("v"),
+            F.col(score_col).alias("_score"),
+        ),
+        "v",
+    )
+    m = F.max(F.struct(F.col("_score"), (-F.col("v")).alias("_negid")))
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            m.alias("_m"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_m._negid")).alias("canonical_id"),
+            "n_members",
+            F.col("_m._score").alias("best_score"),
+        )
+    )
+
+
 def cluster_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",

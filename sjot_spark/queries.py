@@ -2331,6 +2331,315 @@ QUERIES["json_if_then"] = q_json_if_then
 ORACLES["json_if_then"] = ORACLE_JSON_IF_THEN
 
 
+# ------------------------------------ repetition quality signals (r5)
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document (zero-shuffle
+    fold; datapipe/repetition.py). The DuckDB twin computes the SAME
+    metrics via the opposite algorithm (unnest + GROUP BY mode,
+    gaps-and-islands runs) — independent cross-check."""
+    from sjot_spark.datapipe import repetition
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return repetition.repetition_signals(docs, "doc_id", "text")
+
+
+ORACLE_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE len(trim(text)) > 0),
+words AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS g(i)),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gr
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t)-1)) AS gg(i)
+  WHERE len(t) >= 2),
+gcnt AS (SELECT doc_id, gr, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+gtop AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS total
+         FROM gcnt GROUP BY 1),
+dw AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd
+       FROM toks),
+isl AS (
+  SELECT doc_id, w,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i)
+           AS island
+  FROM words),
+runs AS (SELECT doc_id, COUNT(*) AS rl
+         FROM isl GROUP BY doc_id, w, island),
+rmax AS (SELECT doc_id, MAX(rl) AS mr FROM runs GROUP BY 1)
+SELECT dw.doc_id,
+       CAST(FLOOR(1000.0 * (dw.n - dw.nd) / dw.n) AS BIGINT)
+         AS dup_word_permille,
+       CAST(COALESCE(FLOOR(1000.0 * gtop.topc / gtop.total), 0)
+            AS BIGINT) AS top_bigram_permille,
+       CAST(rmax.mr AS BIGINT) AS max_token_run
+FROM dw LEFT JOIN gtop ON gtop.doc_id = dw.doc_id
+        JOIN rmax ON rmax.doc_id = dw.doc_id
+"""
+
+QUERIES["repetition_stats"] = q_repetition_stats
+ORACLES["repetition_stats"] = ORACLE_REPETITION
+
+
+# ----------------------------------------- PII scan + redaction (r5)
+
+# deterministic PII injection shared by the Spark query and the SQL
+# twin: the synthetic corpus has no PII, so both engines append the
+# same synthetic spans keyed off doc_id before scanning. Counts are
+# then non-trivial AND exactly comparable.
+def _pii_augment_spark(doc_id, text):
+    did = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" contact user"), did,
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                     F.lit(" today")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" from 10."),
+                     (doc_id % 256).cast("string"), F.lit(".0."),
+                     ((doc_id * 7) % 256).cast("string"),
+                     F.lit(" logged")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_AUGMENT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' today' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 256)"
+    " || '.0.' || ((doc_id * 7) % 256) || ' logged' ELSE '' END"
+)
+
+
+def q_pii_scan(spark, sf_dir):
+    """Per-source PII rollup over deterministically-augmented text
+    (datapipe/pii.py): detection counts, redaction char deltas, and
+    the residual-after-redaction count (0 iff redaction is complete —
+    the oracle checks the value, not the assumption)."""
+    from sjot_spark.datapipe import pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source"),
+        _pii_augment_spark(F.col("doc_id"), F.col("text")).alias("aug"),
+    )
+    return (
+        pii.pii_scan(docs, text_col="aug", group_col="source")
+        .withColumnRenamed("grp", "source")
+    )
+
+
+ORACLE_PII = rf"""
+WITH aug AS (
+  SELECT source, {_PII_AUGMENT_SQL} AS a FROM documents),
+red AS (
+  SELECT source, a,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(a,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+          '[EMAIL]', 'g'),
+        '\d{{3}}-\d{{4}}', '[PHONE]', 'g'),
+      '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}', '[IP]', 'g') AS r
+  FROM aug),
+per AS (
+  SELECT source,
+    len(regexp_extract_all(a,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+    len(regexp_extract_all(a, '\d{{3}}-\d{{4}}')) AS n_phone,
+    len(regexp_extract_all(a,
+      '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}')) AS n_ipv4,
+    len(a) - len(r) AS chars_removed,
+    len(regexp_extract_all(r,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+      + len(regexp_extract_all(r, '\d{{3}}-\d{{4}}'))
+      + len(regexp_extract_all(r,
+          '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}')) AS residual
+  FROM red)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_email)::BIGINT AS n_email, SUM(n_phone)::BIGINT AS n_phone,
+       SUM(n_ipv4)::BIGINT AS n_ipv4,
+       SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_pii,
+       SUM(chars_removed)::BIGINT AS chars_removed,
+       SUM(residual)::BIGINT AS residual_matches
+FROM per GROUP BY source
+"""
+
+QUERIES["pii_scan"] = q_pii_scan
+ORACLES["pii_scan"] = ORACLE_PII
+
+
+# ------------------------------- benchmark decontamination (r5)
+
+# Deterministic eval-set synthesis shared by both engines: every
+# 17th document (doc_id % 17 == 3) contributes its 8-token slice
+# starting at token position doc_id % 5 as a "benchmark prompt"
+# (docs too short to fill the slice contribute nothing). Source docs
+# self-contaminate by construction, and any corpus near-dup of a
+# source doc is caught too — non-trivial counts, exactly comparable.
+
+def q_decontam_overlap(spark, sf_dir):
+    """Docs sharing >=1 distinct 8-gram with the synthesized eval set
+    (datapipe/decontam.py): broadcast the eval hash set, stream the
+    corpus, shuffle only matching grams."""
+    from sjot_spark.datapipe import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    start = (F.col("doc_id") % 5).cast("int")
+    ev = (
+        docs.where(F.col("doc_id") % 17 == 3)
+        .select(
+            F.when(
+                F.size(toks) >= start + 8,
+                F.concat_ws(" ", F.slice(toks, start + 1, 8)),
+            ).alias("gram")
+        )
+        .where(F.col("gram").isNotNull())
+        .select(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gram_hash")
+        )
+    )
+    return decontam.contaminated_docs(docs, ev, "doc_id", "text", n=8)
+
+
+ORACLE_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+ev AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(array_to_string(
+       t[(doc_id % 5) + 1 : (doc_id % 5) + 8], ' ')), 1, 15))::BIGINT
+      AS gram_hash
+  FROM toks
+  WHERE doc_id % 17 = 3 AND len(t) >= (doc_id % 5) + 8),
+dg AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT
+      AS gram_hash
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8),
+sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY 1),
+hit AS (
+  SELECT dg.doc_id, COUNT(*) AS n_hit
+  FROM dg JOIN ev ON dg.gram_hash = ev.gram_hash
+  GROUP BY 1)
+SELECT hit.doc_id, sz.n_grams, hit.n_hit,
+       CAST(FLOOR(1000.0 * hit.n_hit / sz.n_grams) AS BIGINT)
+         AS hit_permille
+FROM hit JOIN sz ON sz.doc_id = hit.doc_id
+"""
+
+QUERIES["decontam_overlap"] = q_decontam_overlap
+ORACLES["decontam_overlap"] = ORACLE_DECONTAM
+
+
+# ----------------------------- canonical doc per dup-cluster (r5)
+
+def q_canonical_docs(spark, sf_dir):
+    """Representative selection after clustering: per near-dup cluster
+    (the SAME synthetic star+bridge graph as dedup_clusters), keep the
+    member with the best integer quality score, ties to the smallest
+    doc_id (datapipe/cluster.canonical_per_cluster — struct-max agg,
+    one shuffle, no window). Returns multi-member clusters only."""
+    from sjot_spark.datapipe.cluster import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ids = docs.select("doc_id")
+    stars = ids.select(d.alias("a"), (d - d % 5).alias("b"))
+    bridges = (
+        ids.where(d % 35 == 0)
+        .select(d.alias("a"), (d + 5).alias("b"))
+        .join(ids.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    )
+    comp = connected_components(stars.union(bridges), a="a", b="b")
+    scores = docs.select(
+        "doc_id",
+        text.quality_score_1000(F.col("text"), F.col("n_chars"))
+        .alias("score"),
+    )
+    return (
+        canonical_per_cluster(comp, scores, "doc_id", "score")
+        .where(F.col("n_members") > 1)
+    )
+
+
+def _oracle_canonical() -> str:
+    stop = " + ".join(
+        f"(len(string_split(' ' || text || ' ', ' {w} ')) - 1)"
+        for w in text.STOPWORDS)
+    return rf"""
+WITH e0 AS (
+  SELECT doc_id AS a, doc_id - (doc_id % 5) AS b FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 5 FROM documents
+  WHERE doc_id % 35 = 0
+    AND (doc_id + 5) IN (SELECT doc_id FROM documents)),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+reach AS (
+  WITH RECURSIVE r(v, u) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT r.v, e.b FROM r JOIN e ON r.u = e.a)
+  SELECT v, u FROM r),
+cc AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+         END AS n_distinct,
+         n_chars, text
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         (LEAST(400, n_chars)
+          + CASE WHEN n_tok > 0
+                 THEN CAST(FLOOR(n_distinct * 400 / n_tok) AS BIGINT)
+                 ELSE 0 END
+          + LEAST(200, ({stop}) * 20))::BIGINT AS score
+  FROM sc),
+m AS (
+  SELECT cc.cluster_id, q.doc_id, q.score,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.score DESC, q.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+  FROM cc JOIN q ON q.doc_id = cc.v)
+SELECT cluster_id, doc_id AS canonical_id,
+       n_members::BIGINT AS n_members, score AS best_score
+FROM m WHERE rn = 1 AND n_members > 1
+"""
+
+
+QUERIES["canonical_docs"] = q_canonical_docs
+ORACLES["canonical_docs"] = _oracle_canonical()
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -2349,7 +2658,14 @@ ORACLES["json_if_then"] = ORACLE_JSON_IF_THEN
 #       — after r5 EVERY registered query has been driver-gated at
 #       least once — plus the new r5 registrations: json_if_then
 #       (displaces family-twin json_union_dispatch) and
-#       bpe_tokenize_stats (displaces family-twin bpe_pretoken_stats).
+#       bpe_tokenize_stats (displaces family-twin bpe_pretoken_stats),
+#       repetition_stats (displaces family-twin quality_classes,
+#       driver-green r1-r4) and pii_scan (displaces family-twin
+#       tokenize_stats, driver-green r1-r4) — text family keeps
+#       text_profile + lang_id_counts + bpe_tokenize_stats inside —
+#       and decontam_overlap + canonical_docs (displace tpch_q8 and
+#       tpch_q16, both driver-green r4; the TPC-H family keeps 10
+#       representatives inside).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -2362,12 +2678,14 @@ DRIVER_WINDOW = [
     "json_validate", "json_if_then", "json_embedded_sjot",
     "events_props_validate", "events_json_props",
     # text analysis + tokenization (bpe_tokenize_stats displaces its
-    # family twin bpe_pretoken_stats, driver-green r1-r4)
-    "text_profile", "lang_id_counts", "quality_classes",
-    "tokenize_stats", "bpe_tokenize_stats",
-    # dedup family
+    # family twin bpe_pretoken_stats; repetition_stats/pii_scan are
+    # the r5 additions, displacing quality_classes/tokenize_stats)
+    "text_profile", "lang_id_counts", "repetition_stats", "pii_scan",
+    "bpe_tokenize_stats",
+    # dedup family (+ r5 decontamination and canonical selection)
     "exact_dedup_stats", "exact_dup_groups", "ngram_jaccard",
     "minhash_lsh", "simhash_pairs", "dedup_clusters",
+    "decontam_overlap", "canonical_docs",
     # similarity / ANN / quantization
     "knn_cosine", "ann_lsh", "ann_ivf_recall", "embed_quantize_stats",
     # drift / column stats
@@ -2378,8 +2696,8 @@ DRIVER_WINDOW = [
     "pack_stats", "stratified_sample", "hash_sample",
     # relational surface
     "salted_distinct", "set_except",
-    "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
+    "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q11",
+    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
