@@ -107,9 +107,11 @@ DRIVER_QUERIES = [
     # round 3: per-row JSON validation (variant), CC clustering,
     # as-of join — suite total grows accordingly vs BENCH_r02
     "json_validate", "dedup_clusters", "events_asof",
-    # round 5: real BPE tokenization (suite total grows by one query
-    # vs BENCH_r04 — compare per-query timings across rounds)
+    # round 5: real BPE tokenization, then the text-quality /
+    # curation additions (suite total grows by four queries vs
+    # BENCH_r04 — compare per-query timings across rounds)
     "bpe_tokenize_stats",
+    "repetition_stats", "decontam_overlap", "boilerplate_stats",
 ]
 
 

@@ -94,10 +94,14 @@ def remove_boilerplate(
     id_col: str = "doc_id",
     lines_col: str = "lines",
     min_docs: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rewrite stage: per-document surviving text after dropping every
     line in the frequent set. Returns
-    (id, n_lines, n_removed, text_clean) with line order preserved.
+    (id, *carry_cols, n_lines, n_removed, text_clean) with line order
+    preserved; ``carry_cols`` are per-document columns (functionally
+    dependent on the id) passed through the rebuild so callers don't
+    pay a join to re-attach them.
 
     The frequent set is broadcast (it is the boilerplate — small by
     construction); the flag join is map-side LEFT OUTER — an anti
@@ -109,13 +113,14 @@ def remove_boilerplate(
     )
     exploded = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.size(F.col(lines_col)).cast("long").alias("n_lines"),
         F.posexplode_outer(F.col(lines_col)).alias("pos", "line"),
     ).withColumn("line_hash", _md5_int(F.col("line")))
     marked = exploded.join(freq, "line_hash", "left")
     is_kept = F.col("_bp").isNull() & F.col("line").isNotNull()
     return (
-        marked.groupBy(id_col, "n_lines")
+        marked.groupBy(id_col, *carry_cols, "n_lines")
         .agg(
             F.count(F.when(is_kept, 1)).cast("long").alias("n_kept"),
             F.array_join(
@@ -132,6 +137,7 @@ def remove_boilerplate(
         )
         .select(
             id_col,
+            *carry_cols,
             "n_lines",
             (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
             "text_clean",

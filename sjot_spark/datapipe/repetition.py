@@ -1,6 +1,6 @@
 """Repetition quality signals (Gopher-style) — duplicate-word
 fraction, top-bigram mass, longest same-token run — as pure Column
-expressions: one projection, ZERO shuffle.
+expressions: three stacked projections, ZERO shuffle.
 
 These are the classic web-corpus repetition filters (Rae et al. 2021
 "Scaling Language Models" §A.1.1: duplicate-line/paragraph fractions,
@@ -8,9 +8,9 @@ top-n-gram character mass) adapted to whitespace-token granularity.
 A document whose mass concentrates in one repeated n-gram, or that
 repeats the same token in long runs, is boilerplate/spam and gets
 filtered before training. The reference has no text-quality analog —
-this extends the training-data-pipeline surface (SURVEY §6) alongside
-dedup/ANN; its nearest validation cousin is the set-uniqueness check
-A5 (/root/reference/index.js:389-399: "@unique" duplicate detection),
+this extends the training-data-pipeline surface (SURVEY §6); its
+nearest validation cousin is the set-uniqueness check A5
+(/root/reference/index.js:389-399: "@unique" duplicate detection),
 which `dup_word_permille` generalizes from reject-on-any-dup to a
 graded permille signal.
 
@@ -23,13 +23,25 @@ Spark-first shape — and the 100 TB story:
   `aggregate` fold over the SORTED gram array (equal grams are
   adjacent after array_sort, so the max run length of the sorted
   array IS the mode count). No explode, no shuffle, pipelines with
-  the scan, and the whole operator stays inside one codegen'd
-  projection. The DuckDB oracle deliberately uses the OTHER
+  the scan. The DuckDB oracle deliberately uses the OTHER
   formulation (unnest + GROUP BY + gaps-and-islands windows), so the
   two engines cross-check independent algorithms.
-- Fold lambdas reference only the accumulator and the element —
-  never a heavy outer array expression (see datapipe/fingerprint.py
-  for why that matters: per-element re-evaluation).
+- The token array and the sorted bigram array are each MATERIALIZED
+  in their own projection before any per-element lambda touches
+  them. Spark's subexpression elimination does not reach inside
+  higher-order-function lambdas (they are CodegenFallback — see
+  jsonvalidate.py:520-560), so a lambda like
+  ``get(split(text), i)`` re-evaluates the whole split PER ELEMENT:
+  O(n²·|text|) per row, measured 54 s for the sf0.1 corpus vs ~1 s
+  staged. The staging survives optimization because CollapseProject
+  only inlines an alias that is cheap or referenced exactly once —
+  every staged array here is deliberately referenced ≥2 times in
+  the projection above it (plan-asserted in
+  tests/test_plans.py::test_repetition_arrays_staged_once); a
+  SINGLE-referenced staged array would be re-inlined, so never rely
+  on staging alone for one-use expressions. Same discipline as
+  datapipe/fingerprint.py: fold lambdas reference only the
+  accumulator, the element, and materialized ATTRIBUTES.
 - All metrics are integer permille with explicit FLOOR so the DuckDB
   twin compares exactly (cross-engine rule: no float metrics).
 
@@ -43,13 +55,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
-
-
 def _bigrams(toks: Column) -> Column:
     """Adjacent word pairs, via one transform over an index sequence
-    (no explode). Empty array when fewer than 2 tokens."""
+    (no explode). Empty array when fewer than 2 tokens. ``toks`` MUST
+    be a materialized attribute, not an expression (the lambda reads
+    it per element)."""
     m = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(m - 2, F.lit(0))),
@@ -86,49 +96,52 @@ def _max_adjacent_run(arr: Column) -> Column:
     return F.aggregate(arr, zero, step, lambda acc: acc["best"])
 
 
-def dup_word_permille(text: Column) -> Column:
-    """floor(1000 * (n_tokens - n_distinct_tokens) / n_tokens); 0 for
-    blank text. The graded analog of A5 "@unique"."""
-    toks = _tokens(text)
-    n = F.size(toks).cast("long")
-    nd = F.size(F.array_distinct(toks)).cast("long")
-    return (
-        F.when(F.length(F.trim(text)) == 0, F.lit(0).cast("long"))
-        .otherwise(F.floor(F.lit(1000) * (n - nd) / n))
-    )
-
-
-def top_bigram_permille(text: Column) -> Column:
-    """floor(1000 * count(most frequent bigram) / n_bigrams); 0 when
-    fewer than 2 tokens. Sort-then-longest-run computes the mode
-    count without leaving the row."""
-    grams = F.array_sort(_bigrams(_tokens(text)))
-    n = F.size(grams).cast("long")
-    top = _max_adjacent_run(grams)
-    return F.when(n > 0, F.floor(F.lit(1000) * top / n)).otherwise(
-        F.lit(0).cast("long")
-    )
-
-
-def max_token_run(text: Column) -> Column:
-    """Longest run of the SAME token repeated consecutively (unsorted
-    fold — order matters here); 0 for blank text."""
-    toks = _tokens(text)
-    return F.when(
-        F.length(F.trim(text)) == 0, F.lit(0).cast("long")
-    ).otherwise(_max_adjacent_run(toks))
-
-
 def repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document repetition metrics: (id, dup_word_permille,
-    top_bigram_permille, max_token_run). One shuffle-free projection;
-    filter on the permilles downstream to drop boilerplate."""
+    top_bigram_permille, max_token_run). Three stacked shuffle-free
+    projections (tokenize, build+sort bigrams, fold) so each heavy
+    array is computed ONCE per row; filter on the permilles
+    downstream to drop boilerplate.
+
+    dup_word_permille = floor(1000 * (n - n_distinct) / n) — the
+    graded analog of A5 "@unique". top_bigram_permille =
+    floor(1000 * mode-bigram count / n_bigrams) via sort-then-
+    longest-run. max_token_run = longest CONSECUTIVE repeat (unsorted
+    fold — order matters there). All three are 0 for blank text
+    (max_token_run also 0; a single token reads run 1)."""
     t = F.col(text_col)
-    return df.select(
+    tokenized = df.select(
         F.col(id_col),
-        dup_word_permille(t).alias("dup_word_permille"),
-        top_bigram_permille(t).alias("top_bigram_permille"),
-        max_token_run(t).alias("max_token_run"),
+        (F.length(F.trim(t)) == 0).alias("_blank"),
+        F.split(F.trim(t), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    staged = tokenized.select(
+        F.col(id_col),
+        "_blank",
+        toks,
+        F.array_sort(_bigrams(toks)).alias("_grams"),
+    )
+    blank = F.col("_blank")
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    dup = (
+        F.when(blank, F.lit(0).cast("long"))
+        .otherwise(F.floor(F.lit(1000) * (n - nd) / n))
+    )
+    grams = F.col("_grams")
+    ng = F.size(grams).cast("long")
+    top = F.when(
+        ng > 0, F.floor(F.lit(1000) * _max_adjacent_run(grams) / ng)
+    ).otherwise(F.lit(0).cast("long"))
+    run = F.when(blank, F.lit(0).cast("long")).otherwise(
+        _max_adjacent_run(toks)
+    )
+    return staged.select(
+        F.col(id_col),
+        dup.alias("dup_word_permille"),
+        top.alias("top_bigram_permille"),
+        run.alias("max_token_run"),
     )

@@ -2494,16 +2494,12 @@ ORACLES["pii_scan"] = ORACLE_PII
 # self-contaminate by construction, and any corpus near-dup of a
 # source doc is caught too — non-trivial counts, exactly comparable.
 
-def q_decontam_overlap(spark, sf_dir):
-    """Docs sharing >=1 distinct 8-gram with the synthesized eval set
-    (datapipe/decontam.py): broadcast the eval hash set, stream the
-    corpus, shuffle only matching grams."""
-    from sjot_spark.datapipe import decontam
-
-    docs = load(spark, sf_dir, "documents")
+def _eval_gram_hashes(docs):
+    """The synthesized eval set as a (gram_hash) DataFrame — every
+    17th document's 8-token slice starting at token doc_id % 5."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     start = (F.col("doc_id") % 5).cast("int")
-    ev = (
+    return (
         docs.where(F.col("doc_id") % 17 == 3)
         .select(
             F.when(
@@ -2518,6 +2514,16 @@ def q_decontam_overlap(spark, sf_dir):
             .alias("gram_hash")
         )
     )
+
+
+def q_decontam_overlap(spark, sf_dir):
+    """Docs sharing >=1 distinct 8-gram with the synthesized eval set
+    (datapipe/decontam.py): broadcast the eval hash set, stream the
+    corpus, shuffle only matching grams."""
+    from sjot_spark.datapipe import decontam
+
+    docs = load(spark, sf_dir, "documents")
+    ev = _eval_gram_hashes(docs)
     return decontam.contaminated_docs(docs, ev, "doc_id", "text", n=8)
 
 
@@ -2706,6 +2712,168 @@ QUERIES["boilerplate_stats"] = q_boilerplate_stats
 ORACLES["boilerplate_stats"] = ORACLE_BOILERPLATE
 
 
+# ---------------------- end-to-end corpus curation pipeline (r5)
+
+def q_corpus_curation(spark, sf_dir):
+    """The full pre-training curation pipeline COMPOSED end-to-end —
+    quality gate (integer score >= 500) → boilerplate line removal
+    over the survivors → exact dedup of the REWRITTEN text (min_by
+    struct agg keeps the smallest doc_id per fingerprint, no join
+    back) → benchmark decontamination of the cleaned text → per-source
+    funnel counts. Every stage is one of the contract operators; this
+    row value-checks their composition (stage interfaces, not just
+    each stage alone). Stage aggregates are source-cardinality tiny,
+    so the funnel assembly joins broadcast."""
+    from sjot_spark.datapipe import decontam, linedup
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "score",
+        text.quality_score_1000(F.col("text"), F.col("n_chars")),
+    )
+    qual = scored.where(F.col("score") >= 500)
+    lines = qual.select(
+        "doc_id", "source",
+        linedup.token_window_lines(F.col("text"), 10).alias("lines"),
+    )
+    clean = linedup.remove_boilerplate(
+        lines, "doc_id", "lines", min_docs=2, carry_cols=("source",)
+    )
+    deduped = (
+        clean.withColumn("fp", F.md5(F.col("text_clean")))
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "text_clean"),
+                F.col("doc_id"),
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    hits = decontam.contaminated_docs(
+        deduped.select("doc_id", F.col("text_clean").alias("text")),
+        _eval_gram_hashes(docs),
+        "doc_id", "text", n=8,
+    )
+    final = deduped.join(
+        F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+    )
+    tc = F.when(
+        F.length(F.trim(F.col("text_clean"))) == 0, F.lit(0)
+    ).otherwise(
+        F.size(F.split(F.trim(F.col("text_clean")), r"\s+"))
+    ).cast("long")
+    s0 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    s1 = qual.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    s2 = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    s3 = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(tc).alias("tokens_final"),
+    )
+    return (
+        s0.join(s1, "source", "left")
+        .join(s2, "source", "left")
+        .join(s3, "source", "left")
+        .select(
+            "source", "n_input",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+    )
+
+
+def _oracle_curation() -> str:
+    stop = " + ".join(
+        f"(len(string_split(' ' || text || ' ', ' {w} ')) - 1)"
+        for w in text.STOPWORDS)
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, source, text, n_chars,
+         (LEAST(400, n_chars)
+          + CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(FLOOR(
+                   len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                   * 400 / len(regexp_split_to_array(trim(text), '\s+')))
+                   AS BIGINT) END
+          + LEAST(200, ({stop}) * 20))::BIGINT AS score
+  FROM documents),
+qual AS (SELECT * FROM scored WHERE score >= 500),
+toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM qual WHERE len(trim(text)) > 0),
+lines AS (
+  SELECT doc_id, source, i,
+         array_to_string(t[i*10 + 1 : i*10 + 10], ' ') AS line
+  FROM toks, LATERAL UNNEST(
+    generate_series(0, CAST(FLOOR((len(t) - 1) / 10) AS BIGINT))) AS g(i)),
+h AS (
+  SELECT doc_id, source, i, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS line_hash
+  FROM lines),
+freq AS (
+  SELECT line_hash FROM (SELECT DISTINCT doc_id, line_hash FROM h)
+  GROUP BY line_hash HAVING COUNT(*) >= 2),
+clean AS (
+  SELECT doc_id, source,
+         COALESCE(string_agg(
+           CASE WHEN line_hash NOT IN (SELECT line_hash FROM freq)
+                THEN line END, ' ' ORDER BY i), '') AS text_clean
+  FROM h GROUP BY doc_id, source),
+dd AS (
+  SELECT doc_id, source, text_clean,
+         ROW_NUMBER() OVER (PARTITION BY md5(text_clean)
+                            ORDER BY doc_id) AS rn
+  FROM clean),
+deduped AS (SELECT doc_id, source, text_clean FROM dd WHERE rn = 1),
+toks0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+ev AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(array_to_string(
+       t[(doc_id % 5) + 1 : (doc_id % 5) + 8], ' ')), 1, 15))::BIGINT
+      AS gram_hash
+  FROM toks0
+  WHERE doc_id % 17 = 3 AND len(t) >= (doc_id % 5) + 8),
+ct AS (
+  SELECT doc_id, regexp_split_to_array(trim(text_clean), '\s+') AS t
+  FROM deduped WHERE len(trim(text_clean)) > 0),
+dg AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT
+      AS gram_hash
+  FROM ct, LATERAL UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8),
+hits AS (SELECT DISTINCT dg.doc_id
+         FROM dg JOIN ev ON dg.gram_hash = ev.gram_hash),
+fin AS (
+  SELECT d.source,
+         CASE WHEN length(trim(d.text_clean)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text_clean), '\s+'))
+         END AS n_tok
+  FROM deduped d WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)),
+s0 AS (SELECT source, COUNT(*) AS n_input FROM documents GROUP BY 1),
+s1 AS (SELECT source, COUNT(*) AS n_quality FROM qual GROUP BY 1),
+s2 AS (SELECT source, COUNT(*) AS n_dedup FROM deduped GROUP BY 1),
+s3 AS (SELECT source, COUNT(*) AS n_final, SUM(n_tok) AS tokens_final
+       FROM fin GROUP BY 1)
+SELECT s0.source, s0.n_input::BIGINT AS n_input,
+       COALESCE(s1.n_quality, 0)::BIGINT AS n_quality,
+       COALESCE(s2.n_dedup, 0)::BIGINT AS n_dedup,
+       COALESCE(s3.n_final, 0)::BIGINT AS n_final,
+       COALESCE(s3.tokens_final, 0)::BIGINT AS tokens_final
+FROM s0 LEFT JOIN s1 ON s1.source = s0.source
+        LEFT JOIN s2 ON s2.source = s0.source
+        LEFT JOIN s3 ON s3.source = s0.source
+"""
+
+
+QUERIES["corpus_curation"] = q_corpus_curation
+ORACLES["corpus_curation"] = _oracle_curation()
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -2731,7 +2899,11 @@ ORACLES["boilerplate_stats"] = ORACLE_BOILERPLATE
 #       text_profile + lang_id_counts + bpe_tokenize_stats inside —
 #       and decontam_overlap + canonical_docs + boilerplate_stats
 #       (displace tpch_q8, tpch_q16 and tpch_q15, all driver-green
-#       r4; the TPC-H family keeps 9 representatives inside).
+#       r4; the TPC-H family keeps 9 representatives inside), and
+#       corpus_curation — the end-to-end pipeline composition —
+#       (displaces ngram_jaccard, driver-green r1-r4; the dedup
+#       family keeps 7 representatives inside incl. the LSH verify
+#       stage within minhash_lsh).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -2748,10 +2920,12 @@ DRIVER_WINDOW = [
     # the r5 additions, displacing quality_classes/tokenize_stats)
     "text_profile", "lang_id_counts", "repetition_stats", "pii_scan",
     "bpe_tokenize_stats",
-    # dedup family (+ r5 decontamination and canonical selection)
-    "exact_dedup_stats", "exact_dup_groups", "ngram_jaccard",
+    # dedup family (+ r5 decontamination, canonical selection,
+    # boilerplate removal, and the end-to-end curation composition)
+    "exact_dedup_stats", "exact_dup_groups",
     "minhash_lsh", "simhash_pairs", "dedup_clusters",
     "decontam_overlap", "canonical_docs", "boilerplate_stats",
+    "corpus_curation",
     # similarity / ANN / quantization
     "knn_cosine", "ann_lsh", "ann_ivf_recall", "embed_quantize_stats",
     # drift / column stats

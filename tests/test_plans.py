@@ -237,3 +237,21 @@ def test_bpe_fold_runs_once_per_word_type(spark):
     # nothing below the first HashAggregate may mention it
     below_first_agg = phys.split("HashAggregate")[-1]
     assert "aggregate([" not in below_first_agg
+
+
+def test_repetition_arrays_staged_once(spark):
+    """repetition_stats plan contract: the token split and the sorted
+    bigram build — the two heavy array expressions — must each appear
+    exactly ONCE in the optimized plan, i.e. stay materialized in
+    their staging projections. CollapseProject only inlines an alias
+    that is cheap or referenced once; if a refactor drops the
+    reference count of either staged array to one, the array gets
+    re-inlined into the fold lambdas and the per-element
+    re-evaluation blowup returns (measured 54 s vs ~1 s at sf0.1 —
+    see datapipe/repetition.py docstring)."""
+    from sjot_spark.queries import QUERIES
+
+    df = QUERIES["repetition_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert plan.count("array_sort(") == 1, plan
