@@ -21,7 +21,9 @@ Spark-first shape — and the 100 TB story:
   contamination, not the corpus. tests/test_plans.py asserts the
   broadcast.
 - Document n-grams are hashed in-row (one md5 per distinct shingle,
-  reusing datapipe/dedup.shingles) and deduplicated per document
+  reusing datapipe/dedup.shingles_of over a STAGED token array — the
+  split and the n-gram build each run once per row, never inside a
+  re-evaluating lambda) and deduplicated per document
   BEFORE the explode, so the exploded row count is bounded by
   distinct-shingles-per-doc, and counts mean "distinct contaminated
   n-grams", invariant to in-document repetition.
@@ -40,12 +42,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from sjot_spark.datapipe.dedup import _md5_int, shingles
+from sjot_spark.datapipe.dedup import _md5_int, shingles, shingles_of, tokens_of
+
+
+def ngram_hashes_of(toks: Column, n: int = 8) -> Column:
+    """Distinct word-n-gram 60-bit hashes from a STAGED token-array
+    attribute (array<long>); empty array when the document has fewer
+    than n tokens. ``toks`` must be a materialized column — see
+    dedup.shingles_of's warning."""
+    return F.transform(shingles_of(toks, n), lambda s: _md5_int(s))
 
 
 def ngram_hash_set(text: Column, n: int = 8) -> Column:
-    """Distinct word-n-gram 60-bit hashes of ``text`` (array<long>);
-    empty array when the document has fewer than n tokens."""
+    """Back-compat: n-gram hashes straight from text. Only safe in
+    single-reference projections (the shingle build re-evaluates the
+    embedded split per element otherwise) — prefer staging
+    dedup.tokens_of + :func:`ngram_hashes_of`."""
     return F.transform(shingles(text, n), lambda s: _md5_int(s))
 
 
@@ -68,11 +80,19 @@ def contaminated_docs(
     ev = broadcast(eval_grams.select("gram_hash").distinct())
     g = docs.select(
         F.col(id_col),
-        ngram_hash_set(F.col(text_col), n).alias("_grams"),
+        tokens_of(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        ngram_hashes_of(F.col("_toks"), n).alias("_grams"),
     ).select(
         id_col,
         F.size("_grams").cast("long").alias("n_grams"),
-        F.explode("_grams").alias("gram_hash"),
+        # OUTER, so Catalyst infers no size>0 pre-filter to push below
+        # the staging projections (a pushed filter re-inlines the
+        # split into the shingle lambda — see dedup.exploded_shingles).
+        # The NULL row an empty gram array emits dies in the inner
+        # join on gram_hash below.
+        F.explode_outer("_grams").alias("gram_hash"),
     )
     return (
         g.join(ev, "gram_hash")  # broadcast build side: eval set

@@ -46,16 +46,69 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles_of(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), via one transform over the
-    token array — no explode, no Python."""
-    toks = F.split(F.trim(text), r"\s+")
+    token array — no explode, no Python.
+
+    ``toks`` MUST be a materialized attribute (a staged projection
+    column), never an expression like ``split(text)``: the transform
+    lambda indexes it n times PER ELEMENT, and Spark re-evaluates
+    non-attribute expressions inside higher-order-function lambdas on
+    every reference — an inlined split costs O(n·m·|text|) per row
+    (the 54 s-vs-1 s trap documented in datapipe/repetition.py).
+    Callers stage tokens with :func:`tokens_of` and keep the staged
+    column referenced ≥2 times so CollapseProject cannot re-inline
+    it (plan-asserted in tests/test_plans.py)."""
     m = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(m - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
     return F.when(m >= n, F.array_distinct(grams)).otherwise(F.array())
+
+
+def tokens_of(text: Column) -> Column:
+    """Whitespace token array — stage this in its own projection
+    before handing it to :func:`shingles_of`."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Back-compat wrapper: shingles straight from text. ONLY safe in
+    single-reference, non-exploded projections — prefer staging
+    :func:`tokens_of` + :func:`shingles_of` (see shingles_of's
+    warning)."""
+    return shingles_of(tokens_of(text), n)
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (doc, sh) shingle rows with both the token and gram
+    arrays staged in their own projections, so the split and the
+    n-gram build each run ONCE per row.
+
+    explode_OUTER is load-bearing: a plain explode makes Catalyst
+    infer a size(arr)>0 pre-filter and push it below the staging
+    projections, substituting the aliases back in — the pushed
+    filter then carries the whole shingle tree with the split inlined
+    into its lambda, re-tokenizing per element per row (the
+    repetition_stats trap, resurrected inside a Filter; see
+    tests/test_plans.py::test_no_split_inside_any_lambda_body). The
+    outer variant infers no filter; the one NULL row an empty gram
+    array emits is dropped right above the generate, where ``sh`` is
+    a generator-output attribute no rule can push further down."""
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens_of(F.col(text_col)).alias("_toks")
+    )
+    grammed = toked.select(
+        "doc", shingles_of(F.col("_toks"), n).alias("_grams")
+    )
+    return (
+        grammed.select("doc", F.explode_outer("_grams").alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -66,11 +119,7 @@ def ngram_jaccard_pairs(
     integer intersection/union sizes (exactly comparable across
     engines); the ratio is derivable. Self-join on shingle — use on
     small/candidate sets only (see module docstring)."""
-    sh = (
-        df.select(F.col(id_col).alias("doc"),
-                  F.explode(shingles(F.col(text_col), n)).alias("sh"))
-        .distinct()
-    )
+    sh = exploded_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")
@@ -107,26 +156,6 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
-    """k-permutation MinHash of the shingle set: ONE md5 per shingle,
-    then k cheap linear permutations (a_i*h + b_i mod 2^31-1) — the
-    standard universal-hash family. Computing k independent md5s per
-    shingle instead costs ~k x the hash work and blows up the codegen
-    expression tree (measured 37s -> sub-second on 200 docs)."""
-    base = F.transform(
-        shingles(text, n),
-        lambda s: F.pmod(_md5_int(s), F.lit(_MERSENNE31)),
-    )
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31))
-
-    return F.array(*[
-        F.array_min(F.transform(base, perm(a, b)))
-        for a, b in _perm_params(k)
-    ])
-
-
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 3, k: int = 16, bands: int = 4, verify_threshold: float = 0.5,
@@ -142,12 +171,8 @@ def minhash_lsh_pairs(
     # permutations folded into a single hash aggregate: min(perm_i(h)).
     # (Building the signature as a per-row array expression re-inlines
     # the md5 subtree once per permutation after projection collapse —
-    # measured ~k x slower.)
-    sh = (
-        df.select(F.col(id_col).alias("doc"),
-                  F.explode(shingles(F.col(text_col), n)).alias("sh"))
-        .distinct()
-    )
+    # measured ~k x slower; that per-row variant was removed.)
+    sh = exploded_shingles(df, id_col, text_col, n)
     hashed = sh.select(
         "doc", "sh", F.pmod(_md5_int(F.col("sh")), F.lit(_MERSENNE31)).alias("h")
     )

@@ -47,19 +47,39 @@ from pyspark.sql.functions import broadcast
 from sjot_spark.datapipe.dedup import _md5_int
 
 
-def token_window_lines(text: Column, k: int = 10) -> Column:
+def token_window_lines_of(
+    toks: Column, blank: Column, k: int = 10
+) -> Column:
     """Deterministic line segmentation for newline-free corpora:
-    non-overlapping k-token windows (last window may be short).
-    Returns array<string>; empty array for blank text."""
-    toks = F.split(F.trim(text), r"\s+")
+    non-overlapping k-token windows (last window may be short) from a
+    STAGED token-array attribute. ``blank`` is a boolean Column that
+    is true for blank text (a blank doc splits to [""], which is
+    indistinguishable from a one-token doc by the array alone).
+    Returns array<string>; empty array when ``blank``.
+
+    ``toks`` MUST be a materialized attribute: the window lambda
+    slices it per element, and Spark re-evaluates non-attribute
+    expressions inside higher-order-function lambdas on every
+    reference — an inlined split turns segmentation O(m²/k·|text|)
+    per row (see datapipe/repetition.py for the measured trap)."""
     m = F.size(toks)
     lines = F.transform(
         F.sequence(F.lit(0), F.floor((m - 1) / k).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
     )
-    return F.when(
-        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
-    ).otherwise(lines)
+    return F.when(blank, F.array().cast("array<string>")).otherwise(lines)
+
+
+def token_window_lines(text: Column, k: int = 10) -> Column:
+    """Back-compat: windows straight from text. Embeds the split in
+    the window lambda (re-evaluated per window) — ONLY for tiny
+    inputs/tests; stage tokens and use :func:`token_window_lines_of`
+    on anything corpus-sized."""
+    return token_window_lines_of(
+        F.split(F.trim(text), r"\s+"),
+        F.length(F.trim(text)) == 0,
+        k,
+    )
 
 
 def frequent_lines(
@@ -75,7 +95,13 @@ def frequent_lines(
     return (
         docs.select(
             F.col(id_col),
-            F.explode(
+            # OUTER, so Catalyst infers no size>0 pre-filter to push
+            # below the caller's staged token/line projections (a
+            # pushed filter re-inlines the line build — and through
+            # it the split — into per-element lambdas; see
+            # dedup.exploded_shingles). Empty line arrays emit one
+            # NULL row, dropped right above the generate.
+            F.explode_outer(
                 F.array_distinct(
                     F.transform(
                         F.col(lines_col), lambda s: _md5_int(s)
@@ -83,6 +109,7 @@ def frequent_lines(
                 )
             ).alias("line_hash"),
         )
+        .where(F.col("line_hash").isNotNull())
         .groupBy("line_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
@@ -120,8 +147,17 @@ def remove_boilerplate(
     marked = exploded.join(freq, "line_hash", "left")
     is_kept = F.col("_bp").isNull() & F.col("line").isNotNull()
     return (
-        marked.groupBy(id_col, *carry_cols, "n_lines")
+        # n_lines is an AGGREGATE (it is constant per doc), not a
+        # grouping key: grouping on it lets downstream-filter
+        # constraints (e.g. isnotnull from a caller's n_removed > 0)
+        # push through the aggregate and below the generate,
+        # substituting the staged line/token aliases back into a
+        # per-row filter with the split inlined into the window
+        # lambda (see dedup.exploded_shingles; caught by
+        # tests/test_plans.py::test_no_split_inside_any_lambda_body).
+        marked.groupBy(id_col, *carry_cols)
         .agg(
+            F.max("n_lines").alias("n_lines"),
             F.count(F.when(is_kept, 1)).cast("long").alias("n_kept"),
             F.array_join(
                 F.transform(

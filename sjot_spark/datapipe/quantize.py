@@ -42,16 +42,29 @@ def quantize_int8(
     array is NULL, so max|x| is pinned to 0 for size-0 inputs — scale
     would otherwise come back NULL). A NULL vector stays NULL q/scale.
     Inputs are cast to double first so the arithmetic (and the oracle
-    twin) is exact float64 in both engines."""
+    twin) is exact float64 in both engines.
+
+    max|x| is STAGED as its own column before the quantize transform:
+    the per-element lambda reads it twice, and a non-attribute
+    expression inside a higher-order-function lambda re-evaluates on
+    every reference — inlined, the array_max scan runs per element
+    (O(dim²)/row; see datapipe/repetition.py for the measured trap).
+    The staged column is referenced ≥2 times so CollapseProject
+    cannot re-inline it."""
     v = F.col(vec_col).cast("array<double>")
     mx = F.when(F.size(v) == 0, F.lit(0.0)).otherwise(_max_abs(v))
+    staged = df.withColumn("_mx", mx)
+    mxa = F.col("_mx")
 
     def q(x: Column) -> Column:
-        return F.when(mx == 0.0, F.lit(0)).otherwise(
-            F.floor(x * 127.0 / mx + 0.5)).cast("int")
+        return F.when(mxa == 0.0, F.lit(0)).otherwise(
+            F.floor(x * 127.0 / mxa + 0.5)).cast("int")
 
-    return df.withColumn(out_col, F.transform(v, q)) \
-             .withColumn(scale_col, mx / 127.0)
+    return (
+        staged.withColumn(out_col, F.transform(v, q))
+        .withColumn(scale_col, mxa / 127.0)
+        .drop("_mx")
+    )
 
 
 def dequantize(

@@ -2661,7 +2661,14 @@ def q_boilerplate_stats(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            linedup.token_window_lines(F.col("text"), 10).alias("lines"),
+            (F.length(F.trim(F.col("text"))) == 0).alias("_blank"),
+            F.split(F.trim(F.col("text")), r"\s+").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            linedup.token_window_lines_of(
+                F.col("_toks"), F.col("_blank"), 10
+            ).alias("lines"),
         )
     )
     out = linedup.remove_boilerplate(docs, "doc_id", "lines", min_docs=2)
@@ -2734,7 +2741,13 @@ def q_corpus_curation(spark, sf_dir):
     qual = scored.where(F.col("score") >= 500)
     lines = qual.select(
         "doc_id", "source",
-        linedup.token_window_lines(F.col("text"), 10).alias("lines"),
+        (F.length(F.trim(F.col("text"))) == 0).alias("_blank"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks"),
+    ).select(
+        "doc_id", "source",
+        linedup.token_window_lines_of(
+            F.col("_toks"), F.col("_blank"), 10
+        ).alias("lines"),
     )
     clean = linedup.remove_boilerplate(
         lines, "doc_id", "lines", min_docs=2, carry_cols=("source",)

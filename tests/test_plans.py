@@ -255,3 +255,48 @@ def test_repetition_arrays_staged_once(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
     assert plan.count("array_sort(") == 1, plan
+
+
+def _lambda_bodies(plan: str):
+    """Yield the balanced-paren body of every lambdafunction(...) in a
+    plan string (the per-element-evaluated spans)."""
+    marker = "lambdafunction("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            return
+        start = i + len(marker)
+        depth, j = 1, start
+        while depth and j < len(plan):
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        yield plan[start:j - 1]
+        i = start
+
+
+def test_no_split_inside_any_lambda_body(spark):
+    """Sweeping invariant over EVERY registered contract query: the
+    tokenizer (split) must never appear inside a higher-order-function
+    lambda BODY. Spark re-evaluates non-attribute expressions inside
+    HOF lambdas on every element, so an inlined split is O(elements)
+    re-tokenizations per row — the repetition_stats trap (54 s vs ~1 s
+    at sf0.1) that also hit shingles/token windows. split as a HOF
+    *input* argument is fine (evaluated once); only the lambda body is
+    the hot span. Catches any future operator that embeds tokenize in
+    a per-element lambda."""
+    from sjot_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    offenders = []
+    for name, q in QUERIES.items():
+        plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        for body in _lambda_bodies(plan):
+            if "split(" in body:
+                offenders.append(name)
+                break
+    assert offenders == [], offenders
