@@ -34,12 +34,15 @@ Spark-first shape — and the 100 TB story:
   ``get(split(text), i)`` re-evaluates the whole split PER ELEMENT:
   O(n²·|text|) per row, measured 54 s for the sf0.1 corpus vs ~1 s
   staged. The staging survives optimization because CollapseProject
-  only inlines an alias that is cheap or referenced exactly once —
-  every staged array here is deliberately referenced ≥2 times in
-  the projection above it (plan-asserted in
+  only inlines an alias that is cheap or consumed by a single
+  downstream expression (attribute references are deduped PER
+  CONSUMER — a lambda reading the alias n times still counts once) —
+  every staged array here is deliberately consumed by ≥2 separate
+  expressions in the projection above it (plan-asserted in
   tests/test_plans.py::test_repetition_arrays_staged_once); a
-  SINGLE-referenced staged array would be re-inlined, so never rely
-  on staging alone for one-use expressions. Same discipline as
+  single-consumer staged array gets re-inlined, and generates/
+  pushed filters re-inline even multi-consumer ones (see
+  dedup.exploded_shingles). Same discipline as
   datapipe/fingerprint.py: fold lambdas reference only the
   accumulator, the element, and materialized ATTRIBUTES.
 - All metrics are integer permille with explicit FLOOR so the DuckDB
