@@ -2887,6 +2887,99 @@ QUERIES["corpus_curation"] = q_corpus_curation
 ORACLES["corpus_curation"] = _oracle_curation()
 
 
+# ---------------------- source mixing / token-budget sampling (r5)
+
+def q_source_mix(spark, sf_dir):
+    """Token-budget mixture over the documents corpus
+    (datapipe/mixing.py): md5-derived per-source permille weights, a
+    total budget of 1/5 of the corpus tokens, exact integer ppm
+    rates, and the deterministic md5 hash sample those rates induce.
+    Output is the full per-source mixing ledger — inputs, allocation,
+    rate, and what the sample actually kept."""
+    from sjot_spark.datapipe import mixing
+
+    docs = load(spark, sf_dir, "documents")
+    nt = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    dn = docs.select("doc_id", "source", nt.alias("n_tok"))
+    weights = (
+        dn.select("source").distinct()
+        .select(
+            "source",
+            (F.lit(10) + F.pmod(
+                F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+                .cast("long"), F.lit(90))).alias("w_permille"),
+        )
+    )
+    budget = dn.agg(F.sum("n_tok").alias("_t")).select(
+        F.expr("_t div 5").cast("long").alias("total_budget"))
+    rates = mixing.mix_rates(dn, weights, budget)
+    kept = mixing.mix_sample(dn, rates)
+    ka = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+    )
+    return rates.join(ka, "source", "left").select(
+        "source", "w_permille", "n_input", "tokens_input",
+        "budget_tokens", "rate_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+ORACLE_SOURCE_MIX = r"""
+WITH dn AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_tok
+  FROM documents),
+w AS (
+  SELECT source,
+         10 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 90)
+           AS w_permille
+  FROM (SELECT DISTINCT source FROM dn)),
+b AS (SELECT SUM(n_tok)::BIGINT // 5 AS total_budget FROM dn),
+stats AS (
+  SELECT source, COUNT(*)::BIGINT AS n_input,
+         SUM(n_tok)::BIGINT AS tokens_input
+  FROM dn GROUP BY source),
+rates AS (
+  SELECT s.source, w.w_permille, s.n_input, s.tokens_input,
+         (b.total_budget * w.w_permille) // 1000 AS budget_tokens,
+         CASE WHEN s.tokens_input <= 0
+                OR (b.total_budget * w.w_permille) // 1000 <= 0
+              THEN 0
+              ELSE LEAST(1000000,
+                ((b.total_budget * w.w_permille) // 1000
+                   // s.tokens_input) * 1000000
+                + ((((b.total_budget * w.w_permille) // 1000)
+                     % s.tokens_input) * 1000 // s.tokens_input) * 1000
+                + ((((((b.total_budget * w.w_permille) // 1000)
+                       % s.tokens_input) * 1000) % s.tokens_input)
+                   * 1000 // s.tokens_input))
+         END::BIGINT AS rate_ppm
+  FROM stats s JOIN w ON w.source = s.source CROSS JOIN b),
+kept AS (
+  SELECT d.source, COUNT(*)::BIGINT AS n_kept,
+         SUM(d.n_tok)::BIGINT AS tokens_kept
+  FROM dn d JOIN rates r ON r.source = d.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < r.rate_ppm
+  GROUP BY d.source)
+SELECT r.source, r.w_permille, r.n_input, r.tokens_input,
+       r.budget_tokens, r.rate_ppm,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(k.tokens_kept, 0)::BIGINT AS tokens_kept
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+"""
+
+QUERIES["source_mix"] = q_source_mix
+ORACLES["source_mix"] = ORACLE_SOURCE_MIX
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -2916,7 +3009,11 @@ ORACLES["corpus_curation"] = _oracle_curation()
 #       corpus_curation — the end-to-end pipeline composition —
 #       (displaces ngram_jaccard, driver-green r1-r4; the dedup
 #       family keeps 7 representatives inside incl. the LSH verify
-#       stage within minhash_lsh).
+#       stage within minhash_lsh), and source_mix — token-budget
+#       mixture sampling — (displaces its mechanism twin hash_sample,
+#       driver-green r4: both are md5-ppm deterministic hash samples;
+#       pack_stats + stratified_sample keep the sampling family
+#       inside).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -2945,8 +3042,9 @@ DRIVER_WINDOW = [
     "length_quantiles", "column_stats",
     # events: windows, sessionization, as-of
     "events_hourly", "sessionization", "top_events_per_user", "events_asof",
-    # packing + sampling
-    "pack_stats", "stratified_sample", "hash_sample",
+    # packing + sampling (+ r5 token-budget source mixing, displacing
+    # its mechanism twin hash_sample)
+    "pack_stats", "stratified_sample", "source_mix",
     # relational surface
     "salted_distinct", "set_except",
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q11",
