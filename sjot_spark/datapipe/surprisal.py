@@ -1,0 +1,156 @@
+"""Unigram LM surprisal scoring — the CCNet-style reference-corpus
+quality filter (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data": score each document by its
+perplexity under a language model trained on a reference corpus, then
+keep/bucket by score) reduced to a unigram model with INTEGER-EXACT
+log2-bucket surprisal so the DuckDB oracle compares bit-for-bit.
+
+Per-token surprisal is bucketed at whole bits:
+``s(tok) = floor(log2(total_tokens)) - floor(log2(count(tok)))``
+(0 for the most frequent token, growing ~1 per halving of frequency);
+out-of-vocabulary tokens get the max bucket + 1. ``floor(log2(n))``
+is computed as ``length(bin(n)) - 1`` — pure integer/string ops that
+Spark and DuckDB evaluate identically (no float log anywhere; the
+cross-engine rule). A KenLM/real-LM scorer slots in at the census
+boundary: everything downstream only needs a (token, count) relation,
+exactly like the BPE trainer's merge-table swap point
+(datapipe/bpe.py).
+
+The reference has no corpus-statistics analog — this extends the
+training-data-pipeline surface (SURVEY §6) with the one classic
+quality filter that uses CORPUS frequencies rather than document-
+internal signals (datapipe/repetition.py, text.py); its validation
+cousin is the value-domain referential check C7 (engine.py:210-229:
+every value must resolve against a dimension relation — here every
+token resolves against the vocabulary, and non-resolving tokens are
+scored as OOV instead of rejected).
+
+Spark-first shape — and the 100 TB story:
+
+- The census is wordcount: explode + map-side-combined groupBy, the
+  shuffle bounded by (partition x distinct token), output truncated
+  to the top ``max_vocab`` tokens by (count DESC, token ASC) — a
+  TOTAL order, so the cut is deterministic in both engines. Vocab
+  truncation is what real pipelines do (KenLM fixed vocab + OOV
+  bucket) and is what makes the scoring side broadcastable at any
+  corpus scale.
+- Scoring explodes token occurrences, broadcast-joins the vocab
+  (map-side, nothing shuffles at the join — LEFT, so OOV tokens
+  survive with NULL count), and re-aggregates per document with
+  map-side combine: the only shuffle carries one row per document
+  per input partition. The explode itself never shuffles — it
+  pipelines between the scan and the partial aggregate.
+- Blank documents score NULL (no tokens to average); the permille
+  mean uses explicit FLOOR for engine-exact integer division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _floor_log2(c: Column) -> Column:
+    """floor(log2(n)) for n >= 1, as length(bin(n)) - 1 — integer
+    exact, identical in DuckDB."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def token_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 65536,
+) -> DataFrame:
+    """Corpus unigram counts, truncated to the ``max_vocab`` most
+    frequent tokens -> (token, cnt), deterministically tie-broken by
+    (cnt DESC, token ASC). The census is the LM swap point: any
+    (token, cnt) relation — e.g. from a reference corpus rather than
+    the scored corpus itself — drops in unchanged."""
+    t = F.col(text_col)
+    toks = docs.select(
+        F.explode_outer(
+            F.when(
+                F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(F.trim(t), r"\s+"))
+        ).alias("token")
+    ).where(F.col("token").isNotNull())
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(max_vocab)
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    census: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document integer surprisal under the unigram model:
+    (id, *carry_cols, n_tok, n_oov, bits_sum, score_permille) where
+    bits_sum = sum of per-occurrence surprisal buckets and
+    score_permille = floor(1000 * bits_sum / n_tok) (NULL for blank
+    documents). ``census`` is broadcast — cap it with max_vocab.
+
+    total_tokens (the model's denominator) is the census total — the
+    vocabulary's own mass, so a truncated vocab stays a proper
+    frequency table and the scorer needs no second corpus pass."""
+    t = F.col(text_col)
+    exploded = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode_outer(
+            F.when(
+                F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(F.trim(t), r"\s+"))
+        ).alias("token"),
+    )
+    # one-row totals relation: keeps the log2(total) bucket inside the
+    # engine (no driver collect), broadcast alongside the vocab
+    totals = census.agg(
+        _floor_log2(F.sum("cnt")).alias("_b_total")
+    )
+    scored = (
+        exploded.join(broadcast(census), "token", "left")
+        .join(broadcast(totals))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col("token"),
+            # in-vocab: B - floor(log2(cnt)); OOV: B + 1
+            F.when(F.col("token").isNull(), F.lit(None).cast("long"))
+            .when(
+                F.col("cnt").isNotNull(),
+                F.col("_b_total") - _floor_log2(F.col("cnt")),
+            )
+            .otherwise(F.col("_b_total") + 1)
+            .alias("bits"),
+            F.when(
+                F.col("token").isNotNull() & F.col("cnt").isNull(), 1
+            ).otherwise(0).alias("_oov"),
+        )
+    )
+    return (
+        scored.groupBy(id_col, *carry_cols)
+        .agg(
+            # count(token) skips the single NULL row a blank doc emits
+            F.count(F.col("token")).cast("long").alias("n_tok"),
+            F.sum("_oov").cast("long").alias("n_oov"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+        )
+        .select(
+            id_col,
+            *carry_cols,
+            "n_tok",
+            "n_oov",
+            "bits_sum",
+            F.when(
+                F.col("n_tok") > 0,
+                F.expr("(1000 * bits_sum) div n_tok"),
+            ).cast("long").alias("score_permille"),
+        )
+    )

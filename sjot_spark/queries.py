@@ -3061,6 +3061,73 @@ QUERIES["substring_dedup_stats"] = q_substring_dedup
 ORACLES["substring_dedup_stats"] = ORACLE_SUBSTRING_DEDUP
 
 
+# ---------------------- unigram surprisal scoring (CCNet-lite, r5)
+
+def q_surprisal(spark, sf_dir):
+    """CCNet-style LM quality scoring (datapipe/surprisal.py): unigram
+    census over the corpus truncated to the 500 most frequent tokens
+    (forcing a real OOV tail), integer log2-bucket surprisal per
+    token, per-doc permille mean, rolled up per source. All metrics
+    integer — min/max/sum of the per-doc scores value-check the whole
+    scoring path including the deterministic vocab cut."""
+    from sjot_spark.datapipe import surprisal
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    census = surprisal.token_census(docs, "text", max_vocab=500)
+    scored = surprisal.score_documents(
+        docs, census, "doc_id", "text", carry_cols=("source",)
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_oov").cast("long").alias("oov_total"),
+        F.sum("bits_sum").cast("long").alias("bits_total"),
+        F.min("score_permille").cast("long").alias("score_min"),
+        F.max("score_permille").cast("long").alias("score_max"),
+        F.sum("score_permille").cast("long").alias("score_sum"),
+    )
+
+
+ORACLE_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+')
+                END) AS token
+  FROM documents),
+census AS (
+  SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY token
+  ORDER BY cnt DESC, token ASC LIMIT 500),
+tot AS (SELECT (length(bin(SUM(cnt))) - 1)::BIGINT AS b_total FROM census),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*)::BIGINT AS n_tok,
+         SUM(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         SUM(CASE WHEN c.cnt IS NOT NULL
+                  THEN tot.b_total - (length(bin(c.cnt)) - 1)
+                  ELSE tot.b_total + 1 END)::BIGINT AS bits_sum
+  FROM toks t LEFT JOIN census c USING (token) CROSS JOIN tot
+  GROUP BY t.doc_id),
+docs2 AS (
+  SELECT d.source,
+         COALESCE(s.n_oov, 0) AS n_oov,
+         s.bits_sum,
+         CASE WHEN COALESCE(s.n_tok, 0) > 0
+              THEN (1000 * s.bits_sum) // s.n_tok END AS score_permille
+  FROM documents d LEFT JOIN scored s USING (doc_id))
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_oov)::BIGINT AS oov_total,
+       SUM(bits_sum)::BIGINT AS bits_total,
+       MIN(score_permille)::BIGINT AS score_min,
+       MAX(score_permille)::BIGINT AS score_max,
+       SUM(score_permille)::BIGINT AS score_sum
+FROM docs2 GROUP BY source
+"""
+
+QUERIES["surprisal_scores"] = q_surprisal
+ORACLES["surprisal_scores"] = ORACLE_SURPRISAL
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -3097,7 +3164,11 @@ ORACLES["substring_dedup_stats"] = ORACLE_SUBSTRING_DEDUP
 #       inside), and substring_dedup_stats — ExactSubstr-style
 #       sub-document dedup — (displaces simhash_pairs, driver-green
 #       r4; minhash_lsh keeps the fuzzy-signature family inside,
-#       boilerplate_stats the census+rewrite mechanism).
+#       boilerplate_stats the census+rewrite mechanism), and
+#       surprisal_scores — corpus-frequency LM quality scoring —
+#       (displaces text_profile, driver-green r1-r4; lang_id_counts,
+#       repetition_stats and pii_scan keep the text-quality family
+#       inside).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -3112,7 +3183,7 @@ DRIVER_WINDOW = [
     # text analysis + tokenization (bpe_tokenize_stats displaces its
     # family twin bpe_pretoken_stats; repetition_stats/pii_scan are
     # the r5 additions, displacing quality_classes/tokenize_stats)
-    "text_profile", "lang_id_counts", "repetition_stats", "pii_scan",
+    "surprisal_scores", "lang_id_counts", "repetition_stats", "pii_scan",
     "bpe_tokenize_stats",
     # dedup family (+ r5 decontamination, canonical selection,
     # boilerplate removal, and the end-to-end curation composition)
