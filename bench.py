@@ -112,6 +112,9 @@ DRIVER_QUERIES = [
     # BENCH_r04 — compare per-query timings across rounds)
     "bpe_tokenize_stats",
     "repetition_stats", "decontam_overlap", "boilerplate_stats",
+    # round 5b: sub-document dedup + corpus-LM scoring (suite grows
+    # by two more queries vs BENCH_r04)
+    "substring_dedup_stats", "surprisal_scores",
 ]
 
 
