@@ -156,22 +156,23 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     df: DataFrame, id_col: str, text_col: str,
-    n: int = 3, k: int = 16, bands: int = 4, verify_threshold: float = 0.5,
+    n: int = 3, k: int = 16, bands: int = 4,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs, verified by true Jaccard.
+    """Distinct (doc, band_key) banded-LSH rows — the storable /
+    joinable form of the MinHash signature (two docs sharing any
+    band_key are near-dup candidates). Factored out of
+    :func:`minhash_lsh_pairs` so incremental pipelines can persist
+    the band table for a corpus and probe it with new batches
+    (datapipe/incremental.py).
 
-    signatures (projection, no shuffle) -> explode k/bands-row band
-    keys -> groupBy band key (the only shuffle, collisions only) ->
-    candidate pairs -> exact shingle-Jaccard verify on candidates.
-    """
+    signatures via ONE md5 per (doc, shingle) row and k linear
+    permutations folded into a single hash aggregate: min(perm_i(h)).
+    (Building the signature as a per-row array expression re-inlines
+    the md5 subtree once per permutation after projection collapse —
+    measured ~k x slower; that per-row variant was removed.)"""
     rows_per_band = k // bands
-    # signatures via ONE md5 per (doc, shingle) row and k linear
-    # permutations folded into a single hash aggregate: min(perm_i(h)).
-    # (Building the signature as a per-row array expression re-inlines
-    # the md5 subtree once per permutation after projection collapse —
-    # measured ~k x slower; that per-row variant was removed.)
     sh = exploded_shingles(df, id_col, text_col, n)
     hashed = sh.select(
         "doc", "sh", F.pmod(_md5_int(F.col("sh")), F.lit(_MERSENNE31)).alias("h")
@@ -180,7 +181,7 @@ def minhash_lsh_pairs(
         F.min(F.pmod(F.col("h") * a + b, F.lit(_MERSENNE31))).alias(f"s{i}")
         for i, (a, b) in enumerate(_perm_params(k))
     ])
-    bands_df = sig.select(
+    return sig.select(
         "doc",
         F.explode(F.array(*[
             F.concat_ws(
@@ -191,6 +192,20 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ])).alias("band_key"),
     ).distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, k: int = 16, bands: int = 4, verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified by true Jaccard.
+
+    signatures (projection, no shuffle) -> explode k/bands-row band
+    keys -> groupBy band key (the only shuffle, collisions only) ->
+    candidate pairs -> exact shingle-Jaccard verify on candidates.
+    """
+    bands_df = minhash_band_table(df, id_col, text_col, n, k, bands)
+    sh = exploded_shingles(df, id_col, text_col, n)
     cand = (
         bands_df.alias("a")
         .join(bands_df.alias("b"), "band_key")

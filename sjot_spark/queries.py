@@ -3128,6 +3128,110 @@ QUERIES["surprisal_scores"] = q_surprisal
 ORACLES["surprisal_scores"] = ORACLE_SURPRISAL
 
 
+# ---------------------- incremental dedup vs stored state (r5)
+
+def q_incremental_dedup(spark, sf_dir):
+    """Daily-increment dedup (datapipe/incremental.py): a
+    deterministic ~20% md5 slice of documents plays the NEW crawl
+    batch, the other ~80% the already-ingested corpus whose
+    fingerprint + LSH band stores the batch is vetted against.
+    Rolls the per-doc verdicts (exact-vs-prev, exact-intra-batch,
+    near-candidate-vs-prev, clean) up per source."""
+    from sjot_spark.datapipe import dedup, incremental
+    from sjot_spark.datapipe.dedup import _md5_int
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_new = (
+        F.pmod(_md5_int(F.col("doc_id").cast("string")), F.lit(5)) == 0
+    )
+    newd = docs.where(is_new)
+    prevd = docs.where(~is_new)
+    flags = incremental.vet_batch(
+        incremental.exact_fingerprints(prevd),
+        dedup.minhash_band_table(prevd, "doc_id", "text"),
+        incremental.exact_fingerprints(newd),
+        dedup.minhash_band_table(newd, "doc_id", "text"),
+    )
+    return (
+        newd.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum(F.col("exact_prev").cast("long")).cast("long")
+            .alias("n_exact_prev"),
+            F.sum(F.col("exact_intra").cast("long")).cast("long")
+            .alias("n_exact_intra"),
+            F.sum(F.col("near_prev").cast("long")).cast("long")
+            .alias("n_near_prev"),
+            F.sum(
+                (~F.col("exact_prev") & ~F.col("exact_intra")
+                 & ~F.col("near_prev")).cast("long")
+            ).cast("long").alias("n_clean"),
+        )
+    )
+
+
+def _oracle_incremental() -> str:
+    """The whole incremental pipeline in SQL: md5 split, exact
+    fingerprints, the full 16-permutation banded MinHash for BOTH
+    slices, and the three probe joins."""
+    from sjot_spark.datapipe.dedup import _MERSENNE31, _perm_params
+
+    perms = _perm_params(16)
+    sig_cols = ",\n  ".join(
+        f"MIN((hv*{a}+{b})%{_MERSENNE31}) AS s{i}"
+        for i, (a, b) in enumerate(perms))
+    bands = " UNION ALL ".join(
+        f"SELECT doc, '{b}_'||s{b*4}||'_'||s{b*4+1}||'_'||s{b*4+2}||'_'||s{b*4+3}"
+        f" AS band_key FROM sig"
+        for b in range(4))
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source, text,
+         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 5 = 0
+           AS is_new,
+         ('0x'||substr(md5(text),1,15))::BIGINT AS fp
+  FROM documents),
+toks AS (SELECT doc_id AS doc, regexp_split_to_array(trim(text),'\s+') AS t
+         FROM d),
+sh AS (SELECT DISTINCT doc, t[i]||' '||t[i+1]||' '||t[i+2] AS sh
+       FROM toks, LATERAL UNNEST(generate_series(1, len(t)-2)) AS g(i)
+       WHERE len(t) >= 3),
+h AS (SELECT doc, ('0x'||substr(md5(sh),1,15))::BIGINT % {_MERSENNE31} AS hv
+      FROM sh),
+sig AS (SELECT doc, {sig_cols} FROM h GROUP BY doc),
+bands AS (SELECT DISTINCT * FROM ({bands})),
+prev_fp AS (SELECT DISTINCT fp FROM d WHERE NOT is_new),
+prev_band AS (SELECT DISTINCT band_key
+              FROM bands JOIN d ON d.doc_id = bands.doc
+              WHERE NOT d.is_new),
+newd AS (SELECT doc_id, source, fp FROM d WHERE is_new),
+intra AS (SELECT fp, MIN(doc_id) AS keep FROM newd
+          GROUP BY fp HAVING COUNT(*) > 1),
+flags AS (
+  SELECT n.doc_id, n.source,
+         EXISTS(SELECT 1 FROM prev_fp p WHERE p.fp = n.fp) AS exact_prev,
+         (i.keep IS NOT NULL AND n.doc_id <> i.keep) AS exact_intra,
+         EXISTS(SELECT 1 FROM bands b JOIN prev_band pb USING (band_key)
+                WHERE b.doc = n.doc_id) AS near_prev
+  FROM newd n LEFT JOIN intra i USING (fp))
+SELECT source,
+       COUNT(*)::BIGINT AS n_new,
+       SUM(CASE WHEN exact_prev THEN 1 ELSE 0 END)::BIGINT AS n_exact_prev,
+       SUM(CASE WHEN exact_intra THEN 1 ELSE 0 END)::BIGINT
+         AS n_exact_intra,
+       SUM(CASE WHEN near_prev THEN 1 ELSE 0 END)::BIGINT AS n_near_prev,
+       SUM(CASE WHEN NOT exact_prev AND NOT exact_intra AND NOT near_prev
+                THEN 1 ELSE 0 END)::BIGINT AS n_clean
+FROM flags GROUP BY source
+"""
+
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+ORACLES["incremental_dedup"] = _oracle_incremental()
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -3168,7 +3272,10 @@ ORACLES["surprisal_scores"] = ORACLE_SURPRISAL
 #       surprisal_scores — corpus-frequency LM quality scoring —
 #       (displaces text_profile, driver-green r1-r4; lang_id_counts,
 #       repetition_stats and pii_scan keep the text-quality family
-#       inside).
+#       inside), and incremental_dedup — new-batch vetting against
+#       stored fingerprint/band state — (displaces exact_dup_groups,
+#       driver-green r4; exact_dedup_stats keeps the exact-dedup
+#       family inside).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -3187,7 +3294,7 @@ DRIVER_WINDOW = [
     "bpe_tokenize_stats",
     # dedup family (+ r5 decontamination, canonical selection,
     # boilerplate removal, and the end-to-end curation composition)
-    "exact_dedup_stats", "exact_dup_groups",
+    "exact_dedup_stats", "incremental_dedup",
     "minhash_lsh", "substring_dedup_stats", "dedup_clusters",
     "decontam_overlap", "canonical_docs", "boilerplate_stats",
     "corpus_curation",

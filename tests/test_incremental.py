@@ -1,0 +1,81 @@
+"""Incremental dedup (sjot_spark/datapipe/incremental.py): new-batch
+vetting against stored fingerprint/band state — exact-vs-prev,
+intra-batch keep rule, LSH near-candidate flag, and the
+broadcast-probe plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sjot_spark.datapipe import dedup, incremental
+
+PREV_TEXT = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango")
+# one mid-word edit of a 20-token doc: Jaccard 12/24 of 3-gram
+# shingles, deterministically sharing 2 of 4 LSH bands with PREV_TEXT
+# (probed once; the md5 permutation family is fixed, so this never
+# flakes)
+NEAR_TEXT = PREV_TEXT.replace("kilo", "zulu")
+OTHER = "completely different content about spark engines"
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    prev = spark.createDataFrame(
+        [(1, PREV_TEXT), (2, OTHER)], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [
+            (101, PREV_TEXT),            # exact copy of prev 1
+            (102, NEAR_TEXT),            # near dup of prev 1
+            (103, "an entirely novel document about databases"),
+            (104, "shared within batch only shared within batch only"),
+            (105, "shared within batch only shared within batch only"),
+        ],
+        "doc_id int, text string")
+    flags = incremental.vet_batch(
+        incremental.exact_fingerprints(prev),
+        dedup.minhash_band_table(prev, "doc_id", "text"),
+        incremental.exact_fingerprints(new),
+        dedup.minhash_band_table(new, "doc_id", "text"),
+    )
+    return prev, new, flags, {r.doc_id: r for r in flags.collect()}
+
+
+def test_exact_vs_prev(state):
+    *_, by_id = state
+    assert by_id[101].exact_prev and not by_id[101].exact_intra
+    assert not by_id[103].exact_prev
+
+
+def test_near_candidate_vs_prev(state):
+    *_, by_id = state
+    # identical text always shares every band; the 1-word edit shares
+    # >= 1 band (same pair as test_datapipe's minhash fixture)
+    assert by_id[101].near_prev
+    assert by_id[102].near_prev and not by_id[102].exact_prev
+    assert not by_id[103].near_prev
+    # intra-batch dups of a text unseen in prev are NOT near_prev
+    assert not by_id[104].near_prev and not by_id[105].near_prev
+
+
+def test_intra_batch_keep_rule(state):
+    *_, by_id = state
+    assert not by_id[104].exact_intra   # min doc_id is the keeper
+    assert by_id[105].exact_intra
+    assert not by_id[104].exact_prev and not by_id[105].exact_prev
+
+
+def test_every_new_doc_gets_a_verdict(state):
+    _, new, flags, by_id = state
+    assert set(by_id) == {101, 102, 103, 104, 105}
+    assert flags.count() == new.count()
+
+
+def test_probe_plan_broadcasts_the_increment(state):
+    """The corpus-scale stores must never shuffle: every join in the
+    vet plan is a broadcast hash join (the new side broadcasts into
+    the store scans; the tiny hit sets broadcast back)."""
+    prev, new, flags, _ = state
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
