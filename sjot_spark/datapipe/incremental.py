@@ -44,11 +44,11 @@ Spark-first shape — and the 100 TB story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from sjot_spark.datapipe.dedup import _md5_int
+from sjot_spark.datapipe.dedup import _md5_int, minhash_band_table
 
 
 def exact_fingerprints(
@@ -132,3 +132,73 @@ def vet_batch(
             F.coalesce("near_prev", F.lit(False)).alias("near_prev"),
         )
     )
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """The stored state relation, or an empty one on the first-ever
+    batch (bootstrap: the state directory does not exist yet)."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def run_incremental_stream(
+    sdf: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """The operational loop as a stream: each micro-batch of documents
+    is vetted against the parquet state stores under ``state_dir``
+    (``fps/`` holding (fp), ``bands/`` holding (band_key) — the
+    minimal probe-able form), verdict rows append to
+    ``out_dir``/verdicts with a batch_id, and the NON-exact rows'
+    fingerprints/bands append back to the stores so the NEXT batch is
+    vetted against them too. Near candidates DO enter the store: they
+    are distinct texts whose flag is advisory pending verification —
+    dropping them would forget real documents. Returns the
+    StreamingQuery.
+
+    The verdict relation is eagerly localCheckpoint-ed inside the
+    handler before any append, severing its lineage from the store
+    scans — otherwise the store-append actions would re-read the very
+    directories they are writing (verdicts are batch-sized; at
+    cluster scale the same sever is a checkpoint to reliable
+    storage)."""
+    spark = sdf.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prev_fps = _read_or_empty(spark, f"{state_dir}/fps", "fp long")
+        prev_bands = _read_or_empty(
+            spark, f"{state_dir}/bands", "band_key string")
+        new_fps = exact_fingerprints(batch_df, id_col, text_col)
+        new_bands = minhash_band_table(batch_df, id_col, text_col,
+                                       n, k, bands)
+        flags = vet_batch(
+            prev_fps, prev_bands, new_fps, new_bands, id_col
+        ).localCheckpoint()
+        (flags.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out_dir}/verdicts"))
+        keep = flags.where(
+            ~F.col("exact_prev") & ~F.col("exact_intra")
+        ).select(F.col(id_col).alias("doc"))
+        (new_fps.join(broadcast(keep), "doc").select("fp")
+         .write.mode("append").parquet(f"{state_dir}/fps"))
+        (new_bands.join(broadcast(keep), "doc").select("band_key")
+         .write.mode("append").parquet(f"{state_dir}/bands"))
+
+    writer = sdf.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

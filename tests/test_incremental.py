@@ -71,6 +71,49 @@ def test_every_new_doc_gets_a_verdict(state):
     assert flags.count() == new.count()
 
 
+def test_streaming_incremental_loop(spark, tmp_path):
+    """The operational loop: batch 1 bootstraps empty stores and
+    appends its rows; batch 2 is vetted against batch 1's persisted
+    state (exact dup flagged, near candidate flagged, novel doc
+    clean) and only non-exact rows re-enter the store."""
+    from sjot_spark.datapipe import incremental
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("1", PREV_TEXT), ("2", OTHER)], "doc_id string, text string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("3", PREV_TEXT), ("4", NEAR_TEXT),
+         ("5", "an entirely novel document about databases")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("doc_id string, text string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    q = incremental.run_incremental_stream(
+        sdf, str(tmp_path / "state"), str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    verd = {
+        r.doc_id: (r.exact_prev, r.exact_intra, r.near_prev, r.batch_id)
+        for r in spark.read.parquet(str(tmp_path / "out" / "verdicts"))
+        .collect()
+    }
+    b1 = verd["1"][3]
+    assert verd["1"][:3] == (False, False, False)
+    assert verd["2"][:3] == (False, False, False)
+    assert verd["3"] == (True, False, True, b1 + 1)   # exact -> also near
+    assert verd["4"][:3] == (False, False, True)      # near candidate only
+    assert verd["5"][:3] == (False, False, False)
+    # store holds batch-1 rows + batch-2 non-exact rows (4, 5) — doc 3
+    # (exact dup) must NOT have re-entered
+    fps = spark.read.parquet(str(tmp_path / "state" / "fps")).collect()
+    assert len(fps) == 4 and len({r.fp for r in fps}) == 4
+
+
 def test_probe_plan_broadcasts_the_increment(state):
     """The corpus-scale stores must never shuffle: every join in the
     vet plan is a broadcast hash join (the new side broadcasts into
