@@ -3232,6 +3232,194 @@ QUERIES["incremental_dedup"] = q_incremental_dedup
 ORACLES["incremental_dedup"] = _oracle_incremental()
 
 
+# --------------- curation pipeline v2: the r5 stages composed (r5)
+
+def q_curation_v2(spark, sf_dir):
+    """The round-5 curation stages COMPOSED end-to-end — ExactSubstr
+    substring dedup (k=10) rewrites every document, a unigram
+    surprisal filter over the CLEANED text drops the high-surprisal
+    tail (score_permille <= 5600 — the CCNet keep-band posture), and
+    token-budget source mixing (budget = 1/4 of surviving tokens)
+    samples the result. Complements corpus_curation (which composes
+    the r4/r5a stages); this row value-checks the NEW stage
+    interfaces: the rewrite feeds the census, the scores feed the
+    mixer's token masses."""
+    from sjot_spark.datapipe import mixing, substringdup, surprisal
+    from sjot_spark.datapipe.dedup import _md5_int
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sub = substringdup.remove_duplicated_substrings(
+        docs, "doc_id", "text", k=10, min_count=2, carry_cols=("source",)
+    )
+    cleaned = sub.select("doc_id", "source",
+                         F.col("text_clean").alias("text"))
+    census = surprisal.token_census(cleaned, "text", max_vocab=500)
+    scored = surprisal.score_documents(
+        cleaned, census, "doc_id", "text", carry_cols=("source",)
+    )
+    qual = scored.where(
+        (F.col("n_tok") > 0) & (F.col("score_permille") <= 5600)
+    )
+    dn = qual.select("doc_id", "source", "n_tok")
+    weights = dn.select("source").distinct().select(
+        "source",
+        (F.lit(10) + F.pmod(_md5_int(F.col("source")), F.lit(90)))
+        .alias("w_permille"),
+    )
+    budget = dn.agg(F.sum("n_tok").alias("_t")).select(
+        F.expr("_t div 4").cast("long").alias("total_budget"))
+    kept = mixing.mix_sample(dn, mixing.mix_rates(dn, weights, budget))
+
+    nt_raw = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    s0 = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum(nt_raw).cast("long").alias("tokens_in"),
+    )
+    s_a = sub.groupBy("source").agg(
+        F.sum(F.col("n_tok") - F.col("n_removed")).cast("long")
+        .alias("tokens_clean"))
+    s_b = qual.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quality"),
+        F.sum("n_tok").cast("long").alias("tokens_quality"),
+    )
+    s_c = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+    )
+    return (
+        s0.join(s_a, "source", "left")
+        .join(s_b, "source", "left")
+        .join(s_c, "source", "left")
+        .select(
+            "source", "n_input", "tokens_in",
+            F.coalesce("tokens_clean", F.lit(0)).alias("tokens_clean"),
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("tokens_quality", F.lit(0)).alias("tokens_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )
+
+
+ORACLE_CURATION_V2 = r"""
+WITH d AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, source, toks, len(toks)::BIGINT AS n_tok,
+         CASE WHEN len(toks) >= 10 THEN
+           [('0x' || substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT
+            FOR i IN range(1, len(toks) - 10 + 2)]
+         ELSE []::BIGINT[] END AS grams
+  FROM d),
+census0 AS (
+  SELECT gh FROM (SELECT unnest(grams) AS gh FROM g)
+  GROUP BY gh HAVING COUNT(*) >= 2),
+dup_starts AS (
+  SELECT t.doc_id, t.s
+  FROM (SELECT doc_id, unnest(grams) AS gh,
+               generate_subscripts(grams, 1) AS s FROM g) t
+  JOIN census0 USING (gh)),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS t FROM g),
+cov AS (
+  SELECT DISTINCT p.doc_id, p.t
+  FROM pos p JOIN dup_starts ds
+    ON ds.doc_id = p.doc_id AND p.t BETWEEN ds.s AND ds.s + 9),
+keptagg AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.t) AS text_clean
+  FROM pos p ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.t = p.t
+  GROUP BY p.doc_id),
+rew AS (
+  SELECT g.doc_id, g.source, COALESCE(k.text_clean, '') AS text_clean
+  FROM g LEFT JOIN keptagg k USING (doc_id)),
+toks2 AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text_clean), '\s+')) AS token
+  FROM rew WHERE length(trim(text_clean)) > 0),
+census AS (
+  SELECT token, COUNT(*)::BIGINT AS cnt FROM toks2 GROUP BY token
+  ORDER BY cnt DESC, token ASC LIMIT 500),
+tot AS (SELECT (length(bin(SUM(cnt))) - 1)::BIGINT AS b_total FROM census),
+scored AS (
+  SELECT t.doc_id, t.source, COUNT(*)::BIGINT AS n_tok,
+         SUM(CASE WHEN c.cnt IS NOT NULL
+                  THEN tot.b_total - (length(bin(c.cnt)) - 1)
+                  ELSE tot.b_total + 1 END)::BIGINT AS bits_sum
+  FROM toks2 t LEFT JOIN census c USING (token) CROSS JOIN tot
+  GROUP BY t.doc_id, t.source),
+qual AS (
+  SELECT doc_id, source, n_tok FROM scored
+  WHERE (1000 * bits_sum) // n_tok <= 5600),
+w AS (
+  SELECT source,
+         10 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 90)
+           AS w_permille
+  FROM (SELECT DISTINCT source FROM qual)),
+b AS (SELECT SUM(n_tok)::BIGINT // 4 AS total_budget FROM qual),
+stats AS (
+  SELECT source, SUM(n_tok)::BIGINT AS tokens_input
+  FROM qual GROUP BY source),
+rates AS (
+  SELECT s.source,
+         CASE WHEN s.tokens_input <= 0
+                OR (b.total_budget * w.w_permille) // 1000 <= 0
+              THEN 0
+              ELSE LEAST(1000000,
+                ((b.total_budget * w.w_permille) // 1000
+                   // s.tokens_input) * 1000000
+                + ((((b.total_budget * w.w_permille) // 1000)
+                     % s.tokens_input) * 1000 // s.tokens_input) * 1000
+                + ((((((b.total_budget * w.w_permille) // 1000)
+                       % s.tokens_input) * 1000) % s.tokens_input)
+                   * 1000 // s.tokens_input))
+         END::BIGINT AS rate_ppm
+  FROM stats s JOIN w USING (source) CROSS JOIN b),
+kept AS (
+  SELECT q.source, q.n_tok
+  FROM qual q JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < r.rate_ppm),
+s0 AS (
+  SELECT source, COUNT(*)::BIGINT AS n_input,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END)::BIGINT AS tokens_in
+  FROM documents GROUP BY source),
+sa AS (
+  SELECT source,
+         SUM(CASE WHEN length(trim(text_clean)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text_clean), '\s+'))
+             END)::BIGINT AS tokens_clean
+  FROM rew GROUP BY source),
+sb AS (
+  SELECT source, COUNT(*)::BIGINT AS n_quality,
+         SUM(n_tok)::BIGINT AS tokens_quality
+  FROM qual GROUP BY source),
+sc AS (
+  SELECT source, COUNT(*)::BIGINT AS n_kept,
+         SUM(n_tok)::BIGINT AS tokens_kept
+  FROM kept GROUP BY source)
+SELECT s0.source, s0.n_input, s0.tokens_in,
+       COALESCE(sa.tokens_clean, 0)::BIGINT AS tokens_clean,
+       COALESCE(sb.n_quality, 0)::BIGINT AS n_quality,
+       COALESCE(sb.tokens_quality, 0)::BIGINT AS tokens_quality,
+       COALESCE(sc.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(sc.tokens_kept, 0)::BIGINT AS tokens_kept
+FROM s0 LEFT JOIN sa ON sa.source = s0.source
+        LEFT JOIN sb ON sb.source = s0.source
+        LEFT JOIN sc ON sc.source = s0.source
+"""
+
+QUERIES["curation_v2"] = q_curation_v2
+ORACLES["curation_v2"] = ORACLE_CURATION_V2
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -3275,7 +3463,10 @@ ORACLES["incremental_dedup"] = _oracle_incremental()
 #       inside), and incremental_dedup — new-batch vetting against
 #       stored fingerprint/band state — (displaces exact_dup_groups,
 #       driver-green r4; exact_dedup_stats keeps the exact-dedup
-#       family inside).
+#       family inside), and curation_v2 — the r5b stage composition
+#       (substring dedup → surprisal filter → mixing) — (displaces
+#       tpch_q20, driver-green r4; tpch_q21 keeps the correlated
+#       semi/anti-join family inside, 8 TPC-H representatives remain).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -3310,7 +3501,7 @@ DRIVER_WINDOW = [
     # relational surface
     "salted_distinct", "set_except",
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q11",
-    "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
+    "tpch_q17", "tpch_q18", "curation_v2", "tpch_q21",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
