@@ -73,6 +73,19 @@ def tokens_of(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def blank_tokens_of(text: Column) -> Column:
+    """Whitespace token array that is EMPTY (not ['']) for blank
+    text — split(trim('')) yields [''], which downstream would count
+    as one token. The shared tokenizer of the census/scoring/rewrite
+    operators (substringdup, surprisal, mixing/curation queries);
+    DuckDB twin: CASE WHEN length(trim(x))=0 THEN [] ELSE
+    regexp_split_to_array(trim(x),'\\s+') END. Stage it in its own
+    projection before any per-element lambda (see shingles_of)."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Back-compat wrapper: shingles straight from text. ONLY safe in
     single-reference, non-exploded projections — prefer staging

@@ -134,13 +134,76 @@ def vet_batch(
     )
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """The stored state relation, or an empty one on the first-ever
-    batch (bootstrap: the state directory does not exist yet)."""
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """The stored state relation (including the ``batch`` partition
+    column), or an empty one on the first-ever batch. ONLY the
+    missing-path case falls back to empty — any other read failure
+    (corrupt store, permission, transient FS fault) must surface: a
+    swallowed error would make the batch see an empty corpus store
+    and silently reset the dedup state."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def _make_stream_handler(
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+):
+    """The foreachBatch handler of :func:`run_incremental_stream`,
+    factored so tests can drive it directly (including replaying a
+    batch_id to exercise the retry path)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # exclude THIS batch's partition from the reads: a retried
+        # batch (sink committed, checkpoint offset not) must not see
+        # its own failed attempt's appends, or every doc would flag
+        # exact_prev against itself
+        prev_fps = _read_state(
+            spark, f"{state_dir}/fps", "fp long, batch long"
+        ).where(F.col("batch") != batch_id).select("fp")
+        prev_bands = _read_state(
+            spark, f"{state_dir}/bands",
+            "doc string, band_key string, batch long",
+        ).where(F.col("batch") != batch_id).select("band_key")
+        new_fps = exact_fingerprints(batch_df, id_col, text_col)
+        new_bands = minhash_band_table(batch_df, id_col, text_col,
+                                       n, k, bands)
+        flags = vet_batch(
+            prev_fps, prev_bands, new_fps, new_bands, id_col
+        ).localCheckpoint()
+        # every write targets this batch's OWN partition directory
+        # with overwrite — replaying the batch is idempotent
+        (flags.write.mode("overwrite")
+         .parquet(f"{out_dir}/verdicts/batch={batch_id}"))
+        keep = flags.where(
+            ~F.col("exact_prev") & ~F.col("exact_intra")
+        ).select(F.col(id_col).alias("doc"))
+        (new_fps.join(broadcast(keep), "doc").select("fp")
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/fps/batch={batch_id}"))
+        (new_bands.select(F.col("doc").cast("string").alias("doc"),
+                          "band_key")
+         .join(broadcast(keep.select(F.col("doc").cast("string")
+                                     .alias("doc"))), "doc")
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/bands/batch={batch_id}"))
+
+    return handle
 
 
 def run_incremental_stream(
@@ -157,45 +220,27 @@ def run_incremental_stream(
 ):
     """The operational loop as a stream: each micro-batch of documents
     is vetted against the parquet state stores under ``state_dir``
-    (``fps/`` holding (fp), ``bands/`` holding (band_key) — the
-    minimal probe-able form), verdict rows append to
-    ``out_dir``/verdicts with a batch_id, and the NON-exact rows'
-    fingerprints/bands append back to the stores so the NEXT batch is
-    vetted against them too. Near candidates DO enter the store: they
-    are distinct texts whose flag is advisory pending verification —
-    dropping them would forget real documents. Returns the
-    StreamingQuery.
+    (``fps/`` holding (fp), ``bands/`` holding (doc, band_key) — doc
+    kept so near-candidate flags can be VERIFIED against stored state
+    downstream), verdict rows land in ``out_dir``/verdicts, and the
+    NON-exact rows' fingerprints/bands enter the stores so the NEXT
+    batch is vetted against them too. Near candidates DO enter the
+    store: they are distinct texts whose flag is advisory pending
+    verification — dropping them would forget real documents.
+    Returns the StreamingQuery.
 
-    The verdict relation is eagerly localCheckpoint-ed inside the
-    handler before any append, severing its lineage from the store
-    scans — otherwise the store-append actions would re-read the very
-    directories they are writing (verdicts are batch-sized; at
+    Fault tolerance: every sink write goes to a per-batch partition
+    directory (batch=N) in overwrite mode, so a batch replayed after
+    a partial failure is idempotent, and the state reads EXCLUDE the
+    current batch's partition so a retry never vets documents against
+    their own failed attempt. The verdict relation is eagerly
+    localCheckpoint-ed before any append, severing its lineage from
+    the store scans — otherwise the store appends would re-read the
+    very directories they write (verdicts are batch-sized; at
     cluster scale the same sever is a checkpoint to reliable
     storage)."""
-    spark = sdf.sparkSession
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        prev_fps = _read_or_empty(spark, f"{state_dir}/fps", "fp long")
-        prev_bands = _read_or_empty(
-            spark, f"{state_dir}/bands", "band_key string")
-        new_fps = exact_fingerprints(batch_df, id_col, text_col)
-        new_bands = minhash_band_table(batch_df, id_col, text_col,
-                                       n, k, bands)
-        flags = vet_batch(
-            prev_fps, prev_bands, new_fps, new_bands, id_col
-        ).localCheckpoint()
-        (flags.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(f"{out_dir}/verdicts"))
-        keep = flags.where(
-            ~F.col("exact_prev") & ~F.col("exact_intra")
-        ).select(F.col(id_col).alias("doc"))
-        (new_fps.join(broadcast(keep), "doc").select("fp")
-         .write.mode("append").parquet(f"{state_dir}/fps"))
-        (new_bands.join(broadcast(keep), "doc").select("band_key")
-         .write.mode("append").parquet(f"{state_dir}/bands"))
-
+    handle = _make_stream_handler(
+        state_dir, out_dir, id_col, text_col, n, k, bands)
     writer = sdf.writeStream.foreachBatch(handle)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

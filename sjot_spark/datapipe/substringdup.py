@@ -57,6 +57,14 @@ above it so CollapseProject cannot re-inline it (the O(n^2)
 re-evaluation trap; plan-asserted in tests/test_substringdup.py).
 Output text is whitespace-normalized (tokens rejoined with single
 spaces), matching the DuckDB oracle exactly.
+
+Known at-scale corner (disclosed): the per-gram flag lookup is
+array_contains over the per-doc hit set — O(n_grams x |hit set|)
+per row, quadratic for a LONG document whose every gram is
+duplicated (i.e. a verbatim full-document copy). Real pipelines run
+EXACT document dedup before substring dedup (Lee et al. do; so does
+corpus_curation), which removes exactly that shape; after it, hit
+sets are span-sized and the scan is effectively O(n x spans).
 """
 
 from __future__ import annotations
@@ -64,7 +72,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sjot_spark.datapipe.dedup import _md5_int
+from sjot_spark.datapipe.dedup import _md5_int, blank_tokens_of
 
 
 def gram_starts_of(toks: Column, k: int) -> Column:
@@ -122,13 +130,10 @@ def remove_duplicated_substrings(
     ``carry_cols`` are per-document columns passed through so callers
     skip a re-attach join. Documents with no duplicated gram rewrite
     to their normalized selves via the LEFT hit-set join."""
-    t = F.col(text_col)
     staged = docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.when(
-            F.length(F.trim(t)) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.trim(t), r"\s+")).alias("_toks"),
+        blank_tokens_of(F.col(text_col)).alias("_toks"),
     )
     # _toks consumers here: size + gram lambda + pass-through (>= 2,
     # so the split stays staged)

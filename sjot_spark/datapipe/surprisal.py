@@ -50,6 +50,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from sjot_spark.datapipe.dedup import blank_tokens_of
+
 
 def _floor_log2(c: Column) -> Column:
     """floor(log2(n)) for n >= 1, as length(bin(n)) - 1 — integer
@@ -67,13 +69,8 @@ def token_census(
     (cnt DESC, token ASC). The census is the LM swap point: any
     (token, cnt) relation — e.g. from a reference corpus rather than
     the scored corpus itself — drops in unchanged."""
-    t = F.col(text_col)
     toks = docs.select(
-        F.explode_outer(
-            F.when(
-                F.length(F.trim(t)) == 0, F.array().cast("array<string>")
-            ).otherwise(F.split(F.trim(t), r"\s+"))
-        ).alias("token")
+        F.explode_outer(blank_tokens_of(F.col(text_col))).alias("token")
     ).where(F.col("token").isNotNull())
     return (
         toks.groupBy("token")
@@ -99,15 +96,10 @@ def score_documents(
     total_tokens (the model's denominator) is the census total — the
     vocabulary's own mass, so a truncated vocab stays a proper
     frequency table and the scorer needs no second corpus pass."""
-    t = F.col(text_col)
     exploded = docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.explode_outer(
-            F.when(
-                F.length(F.trim(t)) == 0, F.array().cast("array<string>")
-            ).otherwise(F.split(F.trim(t), r"\s+"))
-        ).alias("token"),
+        F.explode_outer(blank_tokens_of(F.col(text_col))).alias("token"),
     )
     # one-row totals relation: keeps the log2(total) bucket inside the
     # engine (no driver collect), broadcast alongside the vocab

@@ -98,7 +98,7 @@ def test_streaming_incremental_loop(spark, tmp_path):
     q.awaitTermination(180)
 
     verd = {
-        r.doc_id: (r.exact_prev, r.exact_intra, r.near_prev, r.batch_id)
+        r.doc_id: (r.exact_prev, r.exact_intra, r.near_prev, r.batch)
         for r in spark.read.parquet(str(tmp_path / "out" / "verdicts"))
         .collect()
     }
@@ -112,6 +112,39 @@ def test_streaming_incremental_loop(spark, tmp_path):
     # (exact dup) must NOT have re-entered
     fps = spark.read.parquet(str(tmp_path / "state" / "fps")).collect()
     assert len(fps) == 4 and len({r.fp for r in fps}) == 4
+    # the band store keeps doc ids so near candidates can be VERIFIED
+    # against stored state downstream
+    bands_cols = spark.read.parquet(
+        str(tmp_path / "state" / "bands")).columns
+    assert {"doc", "band_key"} <= set(bands_cols)
+
+
+def test_streaming_retry_is_idempotent(spark, tmp_path):
+    """A batch replayed after a partial failure (sink written,
+    checkpoint offset not committed) must produce the same state and
+    verdicts — and must NOT vet documents against their own failed
+    attempt's appends."""
+    from sjot_spark.datapipe.incremental import _make_stream_handler
+
+    handle = _make_stream_handler(
+        str(tmp_path / "state"), str(tmp_path / "out"))
+    b1 = spark.createDataFrame(
+        [("1", PREV_TEXT), ("2", OTHER)], "doc_id string, text string")
+    handle(b1, 0)
+    handle(b1, 0)   # retry of the same batch
+    verd = spark.read.parquet(str(tmp_path / "out" / "verdicts")).collect()
+    # no duplicate verdicts, and no doc self-flagged as exact_prev
+    assert len(verd) == 2
+    assert all(not r.exact_prev and not r.near_prev for r in verd)
+    fps = spark.read.parquet(str(tmp_path / "state" / "fps")).collect()
+    assert len(fps) == 2
+    # the next batch still sees batch 0's state normally
+    b2 = spark.createDataFrame(
+        [("3", PREV_TEXT)], "doc_id string, text string")
+    handle(b2, 1)
+    v2 = {r.doc_id: r for r in spark.read.parquet(
+        str(tmp_path / "out" / "verdicts")).collect()}
+    assert v2["3"].exact_prev and v2["3"].near_prev
 
 
 def test_probe_plan_broadcasts_the_increment(state):
