@@ -1,0 +1,86 @@
+"""Training-shard assignment — split a curated corpus into N output
+shards for training-data writing (every pre-training pipeline's last
+step: the curated corpus is written as N shard files consumed by the
+data loader; Megatron/T5-style pipelines shard by document hash so
+any worker subset is a uniform corpus sample).
+
+Assignment is pmod(md5(doc_id), n_shards) — deterministic,
+engine-reproducible (the same md5-ppm discipline as
+datapipe/mixing.py), and embarrassingly parallel: the assignment is a
+pure projection fused with the scan, and the physical write is
+``df.write.partitionBy("shard")`` (or repartition("shard") +
+per-partition files; the manifest layer persists either). The
+reference has no sharding analog — this extends the
+training-data-pipeline surface (SURVEY §6); its validation cousin is
+the partition-slice machinery (engine.py partition_by / manifest.py
+pruned-slice scans): sharding is the WRITE-side of the same
+partition-pruning contract.
+
+Hash sharding is the scalable standard precisely because greedy
+bin-packing by size is inherently sequential; its cost is residual
+imbalance, which concentrates as 1/sqrt(tokens-per-shard) by the
+CLT — at 100 TB / 10k shards each shard holds ~10^9 tokens and the
+expected imbalance is a fraction of a permille. This module therefore
+pairs the assignment with the VERIFICATION: per-shard token/doc
+totals (one map-side-combined aggregate whose output is
+|shards|-row tiny) and the max-vs-mean imbalance in integer permille,
+so a pipeline can assert its shard balance before writing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sjot_spark.datapipe.dedup import _md5_int
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds the deterministic ``shard`` column (0..n_shards-1) —
+    a pure projection, zero shuffle; feed it to
+    ``write.partitionBy('shard')``."""
+    return docs.withColumn(
+        "shard",
+        F.pmod(_md5_int(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("long"),
+    )
+
+
+def shard_balance(
+    sharded: DataFrame,
+    ntok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-shard totals + the corpus-wide imbalance statistic:
+    (shard, n_docs, tokens, imbalance_permille) where
+    imbalance_permille = floor(1000 * (max_shard_tokens - mean)) /
+    mean over ALL shards — the same value on every row, so the
+    balance assertion reads any row. Integer end to end: mean is
+    total div n_shards (floor), engine-exact."""
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(ntok_col)).cast("long").alias("tokens"),
+    )
+    # |shards|-row relation: the global stats join broadcasts
+    glob = per.agg(
+        F.max("tokens").alias("_mx"),
+        F.sum("tokens").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        "_mx",
+        F.expr("_tot div _n").cast("long").alias("_mean"),
+    )
+    return (
+        per.join(broadcast(glob))
+        .select(
+            "shard", "n_docs", "tokens",
+            F.when(F.col("_mean") > 0,
+                   F.expr("(1000 * (_mx - _mean)) div _mean"))
+            .otherwise(F.lit(0)).cast("long")
+            .alias("imbalance_permille"),
+        )
+    )

@@ -3420,6 +3420,51 @@ QUERIES["curation_v2"] = q_curation_v2
 ORACLES["curation_v2"] = ORACLE_CURATION_V2
 
 
+# ---------------------- training-shard assignment + balance (r5)
+
+def q_shard_balance(spark, sf_dir):
+    """Training-shard split of the documents corpus
+    (datapipe/shard.py, 16 shards): deterministic md5 assignment plus
+    the per-shard doc/token totals and the max-vs-mean imbalance
+    statistic a pipeline asserts before writing shards."""
+    from sjot_spark.datapipe import shard
+    from sjot_spark.datapipe.dedup import blank_tokens_of
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # no per-element lambda anywhere -> no staging needed: size() over
+    # the tokenizer expression evaluates once per row
+    dn = docs.select(
+        "doc_id",
+        F.size(blank_tokens_of(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return shard.shard_balance(shard.assign_shards(dn, 16))
+
+
+ORACLE_SHARD_BALANCE = r"""
+WITH dn AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 16 AS shard
+  FROM documents),
+per AS (
+  SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens
+  FROM dn GROUP BY shard),
+tot AS (
+  SELECT MAX(tokens) AS mx, SUM(tokens) // COUNT(*) AS mean FROM per)
+SELECT p.shard, p.n_docs, p.tokens,
+       CASE WHEN g.mean > 0
+            THEN (1000 * (g.mx - g.mean)) // g.mean ELSE 0
+       END::BIGINT AS imbalance_permille
+FROM per p CROSS JOIN tot g
+"""
+
+QUERIES["shard_balance"] = q_shard_balance
+ORACLES["shard_balance"] = ORACLE_SHARD_BALANCE
+
+
 # ------------------------- driver-window registration order (r5)
 # The driver's correctness gate checks the FIRST 50 registered
 # queries in dict order (verified r3: the CORRECTNESS set ==
@@ -3466,7 +3511,11 @@ ORACLES["curation_v2"] = ORACLE_CURATION_V2
 #       family inside), and curation_v2 — the r5b stage composition
 #       (substring dedup → surprisal filter → mixing) — (displaces
 #       tpch_q20, driver-green r4; tpch_q21 keeps the correlated
-#       semi/anti-join family inside, 8 TPC-H representatives remain).
+#       semi/anti-join family inside, 8 TPC-H representatives remain),
+#       and shard_balance — training-shard split + imbalance
+#       verification — (displaces stratified_sample, driver-green r4;
+#       pack_stats + source_mix keep the sampling/write family
+#       inside).
 #   Policy for future rounds: new queries enter the next window on
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
@@ -3495,9 +3544,10 @@ DRIVER_WINDOW = [
     "length_quantiles", "column_stats",
     # events: windows, sessionization, as-of
     "events_hourly", "sessionization", "top_events_per_user", "events_asof",
-    # packing + sampling (+ r5 token-budget source mixing, displacing
-    # its mechanism twin hash_sample)
-    "pack_stats", "stratified_sample", "source_mix",
+    # packing + sampling + sharding (r5: source_mix displaced its
+    # mechanism twin hash_sample; shard_balance displaced
+    # stratified_sample)
+    "pack_stats", "shard_balance", "source_mix",
     # relational surface
     "salted_distinct", "set_except",
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q11",
