@@ -229,6 +229,7 @@ def tokenize_documents_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]] | tuple,
     vocab: list[str] | None = None,
+    max_word_types: int = 20_000,
 ) -> DataFrame:
     """BPE twin of tokenize.tokenize_documents: documents ->
     (doc_id, tokens array<int>, n_tok, source). Each DISTINCT
@@ -237,7 +238,14 @@ def tokenize_documents_bpe(
     via (pre-token position, sub-token position) sort keys. Ids come
     from the trained ``vocab`` (broadcast join); out-of-vocab tokens
     fall back to the engine-independent md5 hash id offset past the
-    vocab, so ids never collide across the two spaces."""
+    vocab, so ids never collide across the two spaces.
+
+    With ``vocab=None`` the fallback vocab is derived from this
+    corpus's word types, collected to the driver under the same
+    deterministic ``max_word_types`` cap as train_bpe (count desc,
+    word asc) — the driver materialization stays bounded at any
+    corpus size; rarer words' symbols are covered by the hash-id OOV
+    space exactly like unseen test-time words."""
     spark = df.sparkSession
     clean = F.replace(F.col("text"), F.lit(SEP), F.lit(""))
     pre = df.select(
@@ -254,8 +262,15 @@ def tokenize_documents_bpe(
         F.posexplode_outer("toks").alias("j", "tok"),
     )
     if vocab is None:
+        top_types = (
+            pre.where(F.col("w").isNotNull())
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("w"))
+            .limit(max_word_types)
+            .collect()
+        )
         vocab = vocab_from_merges(
-            {w: 1 for (w,) in word_types.collect()} or {"a": 1}, list(merges))
+            {r.w: 1 for r in top_types} or {"a": 1}, list(merges))
     vdf = spark.createDataFrame(
         [(s, i) for i, s in enumerate(vocab)], "tok string, vid int")
     with_ids = flat.join(F.broadcast(vdf), "tok", "left").select(

@@ -178,7 +178,19 @@ def minhash_band_table(
     band_key are near-dup candidates). Factored out of
     :func:`minhash_lsh_pairs` so incremental pipelines can persist
     the band table for a corpus and probe it with new batches
-    (datapipe/incremental.py).
+    (datapipe/incremental.py)."""
+    return minhash_band_table_from_shingles(
+        exploded_shingles(df, id_col, text_col, n), k, bands)
+
+
+def minhash_band_table_from_shingles(
+    sh: DataFrame, k: int = 16, bands: int = 4,
+) -> DataFrame:
+    """Band table over an already-built (doc, sh) shingle relation, so
+    callers that ALSO need the shingles (the Jaccard verify stage in
+    minhash_lsh_pairs) build the tokenize/shingle/explode/distinct
+    subtree once and share it — identical subtrees are what lets
+    Spark's exchange reuse serve the shingle census from one shuffle.
 
     signatures via ONE md5 per (doc, shingle) row and k linear
     permutations folded into a single hash aggregate: min(perm_i(h)).
@@ -186,7 +198,6 @@ def minhash_band_table(
     the md5 subtree once per permutation after projection collapse —
     measured ~k x slower; that per-row variant was removed.)"""
     rows_per_band = k // bands
-    sh = exploded_shingles(df, id_col, text_col, n)
     hashed = sh.select(
         "doc", "sh", F.pmod(_md5_int(F.col("sh")), F.lit(_MERSENNE31)).alias("h")
     )
@@ -217,8 +228,8 @@ def minhash_lsh_pairs(
     keys -> groupBy band key (the only shuffle, collisions only) ->
     candidate pairs -> exact shingle-Jaccard verify on candidates.
     """
-    bands_df = minhash_band_table(df, id_col, text_col, n, k, bands)
     sh = exploded_shingles(df, id_col, text_col, n)
+    bands_df = minhash_band_table_from_shingles(sh, k, bands)
     cand = (
         bands_df.alias("a")
         .join(bands_df.alias("b"), "band_key")

@@ -146,8 +146,15 @@ def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
     try:
         return spark.read.schema(schema).parquet(path)
     except AnalysisException as e:
+        # match on the stable error CLASS first (Spark's error-class
+        # framework guarantees the identifier across versions, unlike
+        # the rendered message); keep the message probe only as a
+        # fallback for errors raised without a class
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
         msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        if (cls == "PATH_NOT_FOUND"
+                or (cls is None and ("PATH_NOT_FOUND" in msg
+                                     or "Path does not exist" in msg))):
             return spark.createDataFrame([], schema)
         raise
 

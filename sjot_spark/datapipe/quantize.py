@@ -53,8 +53,14 @@ def quantize_int8(
     cannot re-inline it."""
     v = F.col(vec_col).cast("array<double>")
     mx = F.when(F.size(v) == 0, F.lit(0.0)).otherwise(_max_abs(v))
-    staged = df.withColumn("_mx", mx)
-    mxa = F.col("_mx")
+    # pick a staging name that cannot collide with caller data — a
+    # hard-coded "_mx" would silently overwrite (then drop) an
+    # existing caller column of that name
+    mx_name = "_mx"
+    while mx_name in df.columns:
+        mx_name += "_"
+    staged = df.withColumn(mx_name, mx)
+    mxa = F.col(mx_name)
 
     def q(x: Column) -> Column:
         return F.when(mxa == 0.0, F.lit(0)).otherwise(
@@ -63,7 +69,7 @@ def quantize_int8(
     return (
         staged.withColumn(out_col, F.transform(v, q))
         .withColumn(scale_col, mxa / 127.0)
-        .drop("_mx")
+        .drop(mx_name)
     )
 
 

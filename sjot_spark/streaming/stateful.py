@@ -16,6 +16,9 @@ exactness for bounded memory. The Bloom variant never misses a true
 duplicate (no false negatives); false positives are reconciled
 exactly offline with the batch uniqueness pass
 (engine._unique_violations over the sink): FP = flagged − exact-dups.
+``state_mode="cms"`` keeps a fixed-size count-min sketch instead,
+restoring a per-key ``n_prior`` as an upper-bound ESTIMATE (never an
+undercount) at 32× the state bits per slot.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "key string, n_prior long"
 STATE_SCHEMA = "seen array<string>"
 BLOOM_STATE_SCHEMA = "filter binary"
+CMS_STATE_SCHEMA = "sketch binary"
 
 
 def _bloom_offsets(key: str, bits: int, k: int) -> list[int]:
@@ -65,8 +69,10 @@ def duplicate_stream(
     key_col: str,
     n_buckets: int = 64,
     state_mode: str = "exact",
-    bloom_bits: int = 1 << 23,
+    bloom_bits: int = 1 << 26,
     bloom_hashes: int = 7,
+    cms_width: int = 1 << 22,
+    cms_depth: int = 4,
 ) -> DataFrame:
     """Streaming DataFrame of keys that were already seen in an
     EARLIER micro-batch (or earlier in the same batch), with how many
@@ -78,14 +84,27 @@ def duplicate_stream(
     ``n_prior = -1`` ("seen before, count unknown"), true duplicates
     are never missed, and a false-positive rate of roughly
     ``(1 - e^(-k*n/m))^k`` (n keys per bucket, m = bloom_bits,
-    k = bloom_hashes; default 8 MiB / 7 hashes ≈ 1e-5 at 1M keys per
-    bucket) applies — reconcile exactly offline against the batch
-    uniqueness pass."""
-    if state_mode not in ("exact", "bloom"):
-        raise ValueError(f"state_mode must be exact|bloom, got {state_mode!r}")
+    k = bloom_hashes; default m = 2^26 bits = 8 MiB per bucket with
+    k = 7 gives ≈ 1e-7 at n = 1M keys per bucket) applies — reconcile
+    exactly offline against the batch uniqueness pass.
+    ``state_mode="cms"`` keeps a conservative-update count-min sketch
+    per bucket (fixed ``cms_width × cms_depth`` uint32 counters =
+    ``4 * width * depth`` bytes; default 2^22 × 4 = 64 MiB): flagged
+    rows carry ``n_prior`` as an UPPER-BOUND estimate of the true
+    prior count (CMS never under-counts), still with no false
+    negatives. Flag false positives occur when every row's counter is
+    already nonzero, ≈ ``(1 - e^(-n/width))^depth`` for n distinct
+    keys per bucket — counters cost 32× the bits of a Bloom filter at
+    equal slots, so use cms only when the count estimate matters."""
+    if state_mode not in ("exact", "bloom", "cms"):
+        raise ValueError(
+            f"state_mode must be exact|bloom|cms, got {state_mode!r}")
     if state_mode == "bloom":
         return _duplicate_stream_bloom(
             sdf, key_col, n_buckets, bloom_bits, bloom_hashes)
+    if state_mode == "cms":
+        return _duplicate_stream_cms(
+            sdf, key_col, n_buckets, cms_width, cms_depth)
 
     def detect(
         bucket, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -158,6 +177,73 @@ def _duplicate_stream_bloom(
         detect,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _cms_estimate_insert(
+    arr: np.ndarray, key: str, width: int, depth: int
+) -> int:
+    """Count-min estimate of the key's PRIOR insert count, then insert.
+
+    ``arr`` is the (depth, width) uint32 counter matrix, mutated in
+    place. The estimate (min over rows of the row's counter) is an
+    upper bound on the true prior count — CMS counters only ever
+    absorb extra increments from colliding keys, never lose their
+    own. Insertion is conservative-update (Estan & Varghese 2002):
+    only counters equal to the minimum are raised to ``est + 1``,
+    which tightens future estimates while preserving the upper-bound
+    invariant. Counters saturate at uint32 max instead of wrapping."""
+    offs = _bloom_offsets(key, width, depth)
+    vals = [int(arr[i, off]) for i, off in enumerate(offs)]
+    est = min(vals)
+    if est < 0xFFFFFFFF:
+        for i, off in enumerate(offs):
+            if vals[i] == est:
+                arr[i, off] = est + 1
+    return est
+
+
+def _duplicate_stream_cms(
+    sdf: DataFrame, key_col: str, n_buckets: int,
+    width: int, depth: int,
+) -> DataFrame:
+    """Count-min-sketch twin of duplicate_stream: same shuffle keying
+    and output schema, state fixed at 4*width*depth bytes per bucket,
+    flagged rows carry an upper-bound ``n_prior`` estimate."""
+    if width & (width - 1):
+        raise ValueError("cms_width must be a power of two")
+    if depth < 1:
+        raise ValueError("cms_depth must be >= 1")
+
+    def detect(
+        bucket, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (buf,) = state.get
+            arr = np.frombuffer(buf, dtype=np.uint32).reshape(
+                depth, width).copy()
+        else:
+            arr = np.zeros((depth, width), dtype=np.uint32)
+        keys, priors = [], []
+        for pdf in pdfs:
+            for k in pdf[key_col].astype(str):
+                est = _cms_estimate_insert(arr, k, width, depth)
+                if est:
+                    keys.append(k)
+                    priors.append(est)
+        state.update((arr.tobytes(),))
+        yield pd.DataFrame({"key": keys, "n_prior": priors})
+
+    bucketed = sdf.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        detect,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

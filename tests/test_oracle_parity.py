@@ -21,8 +21,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 @pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
+def duck(tmp_path_factory):
+    # Bound DuckDB explicitly: with no memory_limit it sizes itself off
+    # total host RAM and, run next to the suite's live Spark JVM, can hit
+    # OutOfMemoryException mid-query (observed on the canonical_docs
+    # recursive-CTE oracle). A fixed limit plus a spillable temp
+    # directory makes the gate deterministic under co-resident load.
+    spill = tmp_path_factory.mktemp("duck_spill")
+    con = duckdb.connect(
+        config={
+            "memory_limit": os.environ.get("SPARK_GRAFT_DUCK_MEM", "8GB"),
+            "temp_directory": str(spill),
+        }
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

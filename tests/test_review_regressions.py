@@ -128,3 +128,36 @@ def test_infer_spec_handles_extreme_floats(spark):
     assert spec.check()
     res = ValidationEngine(spec).run(df)
     assert res.violations.count() == 0
+
+
+def test_quantize_preserves_caller_mx_column(spark):
+    """r5 ADVICE: quantize_int8 staged max|x| under a hard-coded '_mx'
+    name, silently overwriting (then dropping) a caller column of
+    that name. The staging name must dodge collisions."""
+    from sjot_spark.datapipe.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -4.0], "keep-me")], "id int, v array<double>, _mx string")
+    out = quantize_int8(df, "v").collect()[0]
+    assert out["_mx"] == "keep-me"
+    assert out["q"] == [64, -127]
+    assert abs(out["scale"] - 4.0 / 127.0) < 1e-12
+
+
+def test_bpe_fallback_vocab_is_bounded(spark):
+    """r5 ADVICE: the vocab=None fallback collected EVERY distinct
+    pre-token; it must honor max_word_types (deterministic top-N) and
+    still tokenize — words outside the cap go through the hash-id
+    OOV space."""
+    from sjot_spark.datapipe.bpe import default_merges, tokenize_documents_bpe
+
+    df = spark.createDataFrame(
+        [("d1", "the cat sat on the mat", "web"),
+         ("d2", "the dog ran", "web")],
+        "doc_id string, text string, source string")
+    out = {r.doc_id: r for r in tokenize_documents_bpe(
+        df, default_merges(), vocab=None, max_word_types=3).collect()}
+    assert set(out) == {"d1", "d2"}
+    for r in out.values():
+        assert r.n_tok == len(r.tokens) > 0
+        assert all(t is not None for t in r.tokens)

@@ -401,3 +401,66 @@ def test_bloom_fp_offline_reconciliation(spark, tmp_path):
     # certain; reconciliation identifies every one of them
     assert false_positives
     assert false_positives.isdisjoint(exact_dups)
+
+
+def test_cms_kernel_upper_bound_and_fixed_state():
+    """The count-min kernel never under-counts: after arbitrary
+    interleaved inserts, every key's estimate >= its true insert
+    count, and the state stays at exactly 4*width*depth bytes."""
+    import numpy as np
+    from sjot_spark.streaming.stateful import _cms_estimate_insert
+
+    width, depth = 256, 3
+    arr = np.zeros((depth, width), dtype=np.uint32)
+    true_counts: dict[str, int] = {}
+    # heavy collisions on purpose: 400 distinct keys into 256 slots
+    for rep in range(3):
+        for i in range(400):
+            k = f"key{i}"
+            est = _cms_estimate_insert(arr, k, width, depth)
+            assert est >= true_counts.get(k, 0), (k, est)
+            true_counts[k] = true_counts.get(k, 0) + 1
+    assert arr.nbytes == 4 * width * depth
+    # final estimates (peek = min over rows without insert) are still
+    # upper bounds for every key
+    probe = arr.copy()
+    for k, c in true_counts.items():
+        assert _cms_estimate_insert(probe, k, width, depth) >= c
+
+
+def test_cms_duplicate_stream_estimates(spark, tmp_path):
+    """state_mode='cms': every true duplicate is flagged and its
+    n_prior is an upper-bound estimate of the true prior count
+    (Verdict r5 #5 — replaces the bloom mode's n_prior=-1)."""
+    from sjot_spark.streaming.stateful import duplicate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",)], "doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("c",), ("d",), ("a",)], "doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    sdf = (spark.readStream.schema("doc_id string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src / "*")))
+    dups = duplicate_stream(sdf, "doc_id", n_buckets=4,
+                            state_mode="cms", cms_width=1 << 10,
+                            cms_depth=4)
+    q = (dups.writeStream.format("memory").queryName("cmsmem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from cmsmem").collect()
+    # true prior counts at each flag event: a@batch1 row4 -> 1,
+    # c@batch2 -> 1, a@batch2 -> 2
+    flagged = sorted((r.key, r.n_prior) for r in rows)
+    true_priors = [("a", 1), ("a", 2), ("c", 1)]
+    assert [k for k, _ in flagged] == [k for k, _ in true_priors]
+    for (k, est), (_, true_n) in zip(flagged, true_priors):
+        assert est >= true_n, (k, est, true_n)
+    # 1024 slots vs 5 distinct keys: no collision, estimates exact
+    assert flagged == true_priors
