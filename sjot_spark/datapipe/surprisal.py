@@ -146,3 +146,164 @@ def score_documents(
             ).cast("long").alias("score_permille"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# Bigram with stupid backoff (Wenzek-faithful one step up from the    #
+# unigram reduction; Brants et al. 2007's backoff made integer-exact) #
+# ------------------------------------------------------------------ #
+
+BACKOFF_PENALTY_BITS = 1  # integer analog of stupid backoff's alpha=0.4
+
+
+def _exploded_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per token occurrence with its PREDECESSOR:
+    (id, *carry, prev, token); the first token of a document carries
+    prev=NULL, a blank document emits one all-NULL marker row (so
+    per-doc aggregation sees every document, mirroring
+    explode_outer's empty-array row). Built in-row — the prev array
+    is a shifted copy of the token array zipped back against it — so
+    positional pairing needs NO per-doc shuffle (a window lag would
+    repartition the corpus by doc)."""
+    staged = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        blank_tokens_of(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    prev_arr = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prev_arr, toks,
+        lambda p, t: F.struct(p.alias("prev"), t.alias("token")),
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode_outer(pairs).alias("_pt"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col("_pt.prev").alias("prev"),
+            F.col("_pt.token").alias("token"),
+        )
+    )
+
+
+def bigram_census(
+    docs: DataFrame,
+    unigram: DataFrame,
+    text_col: str = "text",
+    max_bigrams: int = 1 << 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus bigram counts restricted to prefixes INSIDE the (already
+    truncated) unigram vocab, carrying the prefix's unigram count ->
+    (prev, token, big_cnt, cnt_prev), truncated to the ``max_bigrams``
+    most frequent under the total order (big_cnt DESC, prev ASC,
+    token ASC). Restricting at build time is what keeps the
+    conditional well-defined (big_cnt <= cnt_prev always, so the
+    bucket difference is never negative) and the broadcast bounded.
+    Like token_census this is the LM swap point — any
+    (prev, token, big_cnt, cnt_prev) relation drops in."""
+    pairs = _exploded_pairs(docs, id_col, text_col)
+    counts = (
+        pairs.where(F.col("prev").isNotNull() & F.col("token").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("big_cnt"))
+    )
+    prefix = unigram.select(
+        F.col("token").alias("prev"), F.col("cnt").alias("cnt_prev"))
+    return (
+        counts.join(broadcast(prefix), "prev")
+        .orderBy(F.col("big_cnt").desc(), F.col("prev").asc(),
+                 F.col("token").asc())
+        .limit(max_bigrams)
+    )
+
+
+def score_documents_bigram(
+    docs: DataFrame,
+    unigram: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document integer surprisal under a bigram model with stupid
+    backoff: (id, *carry, n_tok, n_oov, n_backoff, bits_sum,
+    score_permille).
+
+    Per occurrence, in whole-bit buckets (floor-log2 throughout, the
+    cross-engine rule):
+    - bigram hit:  ``b(cnt_prev) - b(big_cnt)`` — the conditional
+      -log2 c(ab)/c(a) at bucket precision;
+    - backoff (prev present, bigram unseen): ``BACKOFF_PENALTY_BITS +
+      unigram bucket`` (OOV keeps its max-bucket+1 rule);
+    - first token (no prev): plain unigram bucket, no penalty.
+
+    Both censuses broadcast (cap them with max_vocab / max_bigrams);
+    the only shuffle is the per-document re-aggregation, exactly as in
+    :func:`score_documents`."""
+    ex = _exploded_pairs(docs, id_col, text_col, carry_cols)
+    totals = unigram.agg(_floor_log2(F.sum("cnt")).alias("_b_total"))
+    j = (
+        ex.join(broadcast(bigrams), ["prev", "token"], "left")
+        .join(broadcast(unigram), "token", "left")
+        .join(broadcast(totals))
+    )
+    uni_bits = F.when(
+        F.col("cnt").isNotNull(),
+        F.col("_b_total") - _floor_log2(F.col("cnt")),
+    ).otherwise(F.col("_b_total") + 1)
+    scored = j.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.col("token"),
+        F.when(F.col("token").isNull(), F.lit(None).cast("long"))
+        .when(
+            F.col("big_cnt").isNotNull(),
+            _floor_log2(F.col("cnt_prev")) - _floor_log2(F.col("big_cnt")),
+        )
+        .when(F.col("prev").isNotNull(),
+              F.lit(BACKOFF_PENALTY_BITS) + uni_bits)
+        .otherwise(uni_bits)
+        .alias("bits"),
+        F.when(
+            F.col("token").isNotNull() & F.col("cnt").isNull(), 1
+        ).otherwise(0).alias("_oov"),
+        F.when(
+            F.col("token").isNotNull() & F.col("prev").isNotNull()
+            & F.col("big_cnt").isNull(), 1
+        ).otherwise(0).alias("_backoff"),
+    )
+    return (
+        scored.groupBy(id_col, *carry_cols)
+        .agg(
+            F.count(F.col("token")).cast("long").alias("n_tok"),
+            F.sum("_oov").cast("long").alias("n_oov"),
+            F.sum("_backoff").cast("long").alias("n_backoff"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+        )
+        .select(
+            id_col,
+            *carry_cols,
+            "n_tok",
+            "n_oov",
+            "n_backoff",
+            "bits_sum",
+            F.when(
+                F.col("n_tok") > 0,
+                F.expr("(1000 * bits_sum) div n_tok"),
+            ).cast("long").alias("score_permille"),
+        )
+    )

@@ -3128,6 +3128,104 @@ QUERIES["surprisal_scores"] = q_surprisal
 ORACLES["surprisal_scores"] = ORACLE_SURPRISAL
 
 
+# ---------------------- bigram surprisal w/ stupid backoff (r6)
+
+def q_surprisal2(spark, sf_dir):
+    """Bigram-with-backoff LM scoring (datapipe/surprisal.py:
+    score_documents_bigram) — the Wenzek-faithful step up from the
+    unigram reduction: unigram census cut at 500 (real OOV tail),
+    bigram census cut at 2000 with in-vocab prefixes only, stupid
+    backoff at +1 bit, integer log2 buckets throughout, rolled up per
+    source. backoff_total value-checks the bigram-table cut; the
+    bits/score sums check all three scoring paths."""
+    from sjot_spark.datapipe import surprisal
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    uni = surprisal.token_census(docs, "text", max_vocab=500)
+    big = surprisal.bigram_census(docs, uni, "text", max_bigrams=2000)
+    scored = surprisal.score_documents_bigram(
+        docs, uni, big, "doc_id", "text", carry_cols=("source",)
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_oov").cast("long").alias("oov_total"),
+        F.sum("n_backoff").cast("long").alias("backoff_total"),
+        F.sum("bits_sum").cast("long").alias("bits_total"),
+        F.min("score_permille").cast("long").alias("score_min"),
+        F.max("score_permille").cast("long").alias("score_max"),
+        F.sum("score_permille").cast("long").alias("score_sum"),
+    )
+
+
+ORACLE_SURPRISAL2 = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(arr) AS token,
+         unnest(generate_series(1, len(arr))) AS ord
+  FROM base),
+pairs AS (
+  SELECT doc_id, token, ord,
+         LAG(token) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+  FROM toks),
+census AS (
+  SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY token
+  ORDER BY cnt DESC, token ASC LIMIT 500),
+bigc AS (
+  SELECT b.prev, b.token, b.big_cnt, c.cnt AS cnt_prev
+  FROM (SELECT prev, token, COUNT(*)::BIGINT AS big_cnt
+        FROM pairs WHERE prev IS NOT NULL GROUP BY prev, token) b
+  JOIN census c ON b.prev = c.token
+  ORDER BY b.big_cnt DESC, b.prev ASC, b.token ASC LIMIT 2000),
+tot AS (SELECT (length(bin(SUM(cnt))) - 1)::BIGINT AS b_total FROM census),
+scored AS (
+  SELECT p.doc_id,
+         COUNT(*)::BIGINT AS n_tok,
+         SUM(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         SUM(CASE WHEN bg.big_cnt IS NULL AND p.prev IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+         SUM(CASE WHEN bg.big_cnt IS NOT NULL
+                  THEN (length(bin(bg.cnt_prev)) - 1)
+                       - (length(bin(bg.big_cnt)) - 1)
+                  WHEN p.prev IS NOT NULL
+                  THEN 1 + CASE WHEN c.cnt IS NOT NULL
+                                THEN tot.b_total - (length(bin(c.cnt)) - 1)
+                                ELSE tot.b_total + 1 END
+                  ELSE CASE WHEN c.cnt IS NOT NULL
+                            THEN tot.b_total - (length(bin(c.cnt)) - 1)
+                            ELSE tot.b_total + 1 END
+             END)::BIGINT AS bits_sum
+  FROM pairs p
+  LEFT JOIN bigc bg ON p.prev = bg.prev AND p.token = bg.token
+  LEFT JOIN census c ON p.token = c.token
+  CROSS JOIN tot
+  GROUP BY p.doc_id),
+docs2 AS (
+  SELECT d.source,
+         COALESCE(s.n_oov, 0) AS n_oov,
+         COALESCE(s.n_backoff, 0) AS n_backoff,
+         s.bits_sum,
+         CASE WHEN COALESCE(s.n_tok, 0) > 0
+              THEN (1000 * s.bits_sum) // s.n_tok END AS score_permille
+  FROM documents d LEFT JOIN scored s USING (doc_id))
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_oov)::BIGINT AS oov_total,
+       SUM(n_backoff)::BIGINT AS backoff_total,
+       SUM(bits_sum)::BIGINT AS bits_total,
+       MIN(score_permille)::BIGINT AS score_min,
+       MAX(score_permille)::BIGINT AS score_max,
+       SUM(score_permille)::BIGINT AS score_sum
+FROM docs2 GROUP BY source
+"""
+
+QUERIES["surprisal2_scores"] = q_surprisal2
+ORACLES["surprisal2_scores"] = ORACLE_SURPRISAL2
+
+
 # ---------------------- incremental dedup vs stored state (r5)
 
 def q_incremental_dedup(spark, sf_dir):
@@ -3520,6 +3618,20 @@ ORACLES["shard_balance"] = ORACLE_SHARD_BALANCE
 #   registration; each displaced query must keep a same-family
 #   representative inside; a query sits out at most one round before
 #   rotating back if its family has no inside representative.
+#   r6: +surprisal2_scores — bigram/stupid-backoff LM scoring, new
+#       registration — (displaces its direct family twin
+#       surprisal_scores, driver-green r5); rotate back the
+#       longest-sat-out per the policy: tpch_q3/q5/q10 (displace
+#       tpch_q7/q9/q11, driver-green r5; 8 TPC-H reps stay inside),
+#       fingerprint_overlap — winnowing fingerprints, green r3 —
+#       (displaces corpus_curation, green r5; curation_v2 keeps the
+#       composition family inside), simhash_pairs — green r4 —
+#       (displaces minhash_lsh, green r1-r5; substring_dedup_stats +
+#       incremental_dedup's banded probe keep the fuzzy-dedup family
+#       inside), length_histogram — green r3 — (displaces
+#       length_quantiles, green r5; column_stats keeps drift inside),
+#       and set_intersect — green r3 — (displaces set_except, green
+#       r5; the set-op family swaps its one representative).
 DRIVER_WINDOW = [
     # validation engine + repair
     "validate_violations", "validate_verdicts", "validate_all_features",
@@ -3527,30 +3639,31 @@ DRIVER_WINDOW = [
     # per-row JSON / variant validation
     "json_validate", "json_if_then", "json_embedded_sjot",
     "events_props_validate", "events_json_props",
-    # text analysis + tokenization (bpe_tokenize_stats displaces its
-    # family twin bpe_pretoken_stats; repetition_stats/pii_scan are
-    # the r5 additions, displacing quality_classes/tokenize_stats)
-    "surprisal_scores", "lang_id_counts", "repetition_stats", "pii_scan",
-    "bpe_tokenize_stats",
-    # dedup family (+ r5 decontamination, canonical selection,
-    # boilerplate removal, and the end-to-end curation composition)
+    # text analysis + tokenization + LM scoring (r6:
+    # surprisal2_scores displaces its family twin surprisal_scores;
+    # fingerprint_overlap rotates back per policy)
+    "surprisal2_scores", "lang_id_counts", "repetition_stats", "pii_scan",
+    "bpe_tokenize_stats", "fingerprint_overlap",
+    # dedup family (r6: simhash_pairs rotates back, displacing
+    # minhash_lsh; curation_v2 below keeps the composition family)
     "exact_dedup_stats", "incremental_dedup",
-    "minhash_lsh", "substring_dedup_stats", "dedup_clusters",
+    "simhash_pairs", "substring_dedup_stats", "dedup_clusters",
     "decontam_overlap", "canonical_docs", "boilerplate_stats",
-    "corpus_curation",
     # similarity / ANN / quantization
     "knn_cosine", "ann_lsh", "ann_ivf_recall", "embed_quantize_stats",
-    # drift / column stats
-    "length_quantiles", "column_stats",
+    # drift / column stats (r6: length_histogram rotates back,
+    # displacing length_quantiles)
+    "length_histogram", "column_stats",
     # events: windows, sessionization, as-of
     "events_hourly", "sessionization", "top_events_per_user", "events_asof",
     # packing + sampling + sharding (r5: source_mix displaced its
     # mechanism twin hash_sample; shard_balance displaced
     # stratified_sample)
     "pack_stats", "shard_balance", "source_mix",
-    # relational surface
-    "salted_distinct", "set_except",
-    "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q11",
+    # relational surface (r6: set_intersect swaps in for set_except;
+    # tpch_q3/q5/q10 rotate back for q7/q9/q11)
+    "salted_distinct", "set_intersect",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q10",
     "tpch_q17", "tpch_q18", "curation_v2", "tpch_q21",
 ]
 

@@ -71,3 +71,63 @@ def test_scoring_plan_is_broadcast_only(docs):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ------------------------- bigram with stupid backoff (r6) ---------
+
+
+@pytest.fixture(scope="module")
+def bdocs(spark):
+    rows = [
+        (1, "a b a b c", "web"),
+        (2, "a b x", "web"),
+        (3, "", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_bigram_census_restriction_and_cut(bdocs):
+    # unigrams: a=3, b=3, c=1, x=1; top-3 (cnt desc, token asc) ->
+    # {a, b, c}, x OOV. bigram occurrences: (a,b)x3, (b,a), (b,c),
+    # (b,x); all prefixes in vocab; top-3 under (cnt desc, prev asc,
+    # token asc) keeps (a,b), (b,a), (b,c) and drops (b,x)
+    uni = surprisal.token_census(bdocs, "text", max_vocab=3)
+    big = surprisal.bigram_census(bdocs, uni, "text", max_bigrams=3)
+    got = {(r.prev, r.token): (r.big_cnt, r.cnt_prev) for r in big.collect()}
+    assert got == {("a", "b"): (3, 3), ("b", "a"): (1, 3), ("b", "c"): (1, 3)}
+
+
+def test_bigram_hand_computed_backoff_buckets(bdocs):
+    """Every path by hand: bigram hit = b(cnt_prev) - b(big_cnt),
+    backoff = 1 + unigram bucket (OOV keeps max+1), first token =
+    plain unigram bucket. total = 3+3+1 = 7 -> B = 2; b(3)=1, b(1)=0."""
+    uni = surprisal.token_census(bdocs, "text", max_vocab=3)
+    big = surprisal.bigram_census(bdocs, uni, "text", max_bigrams=3)
+    out = {r.doc_id: r for r in surprisal.score_documents_bigram(
+        bdocs, uni, big).collect()}
+    # d1 a,b,a,b,c: first a uni 2-1=1; (a,b) hit 1-1=0; (b,a) hit
+    # 1-0=1; (a,b) 0; (b,c) hit 1-0=1 -> 3 bits / 5 toks
+    d1 = out[1]
+    assert (d1.n_tok, d1.n_oov, d1.n_backoff, d1.bits_sum,
+            d1.score_permille) == (5, 0, 0, 3, 600)
+    # d2 a,b,x: a uni 1; (a,b) hit 0; x backoff (bigram (b,x) cut,
+    # x OOV) 1 + (2+1) = 4 -> 5 bits / 3 toks -> floor 1666
+    d2 = out[2]
+    assert (d2.n_tok, d2.n_oov, d2.n_backoff, d2.bits_sum,
+            d2.score_permille) == (3, 1, 1, 5, 1666)
+    # blank doc: marker row only
+    d3 = out[3]
+    assert (d3.n_tok, d3.n_oov, d3.n_backoff) == (0, 0, 0)
+    assert d3.bits_sum is None and d3.score_permille is None
+
+
+def test_bigram_scoring_plan_broadcast_only_no_lambda_split(bdocs):
+    """Scoring joins are all broadcast, and the in-row prev-pairing
+    never lands the tokenizer split inside a lambda body (the
+    re-evaluation trap, CLAUDE.md)."""
+    uni = surprisal.token_census(bdocs, "text", max_vocab=3)
+    big = surprisal.bigram_census(bdocs, uni, "text", max_bigrams=3)
+    df = surprisal.score_documents_bigram(bdocs, uni, big)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
