@@ -1,0 +1,61 @@
+"""Optimized-plan digests — the systematic form of the r5 "lambda
+re-evaluation hunt"'s ad-hoc plan md5 comparisons.
+
+Three optimizer rules were found silently re-inlining staged arrays
+(CollapseProject single-consumer inlining, generator pre-filter
+pushdown, constraint pushdown through grouping keys — see CLAUDE.md
+and BENCH/BASELINE.md); each regression was invisible to value
+correctness and cost 10-50x wall. A checked-in digest per contract
+query turns "the plan changed" into a reviewable test failure: any
+engine/compiler/optimizer-interaction change that alters a query's
+OPTIMIZED LOGICAL plan flips its digest and must be re-committed
+deliberately via scripts/plan_digests.py.
+
+Digests hash the optimized plan string with the volatile parts
+normalized away:
+- expression ids (``name#123`` / ``#123L``) — fresh per session;
+- plan ids (``plan_id=…``) — fresh per DataFrame;
+- the scale-factor directory — so sf0.001 and sf0.01 digest alike.
+Everything structural (operators, expression trees, join strategies
+hints, pushed filters) stays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXPR_ID = re.compile(r"#\d+")
+_PLAN_ID = re.compile(r"plan_id=\d+")
+_SF_DIR = re.compile(r"/root/testdata/sf[0-9.]+")
+
+
+def normalize_plan(plan: str) -> str:
+    plan = _EXPR_ID.sub("#", plan)
+    plan = _PLAN_ID.sub("plan_id=", plan)
+    plan = _SF_DIR.sub("<sf>", plan)
+    return plan
+
+
+def optimized_plan_digest(df: DataFrame) -> str:
+    """md5 of the normalized optimized logical plan."""
+    spark = df.sparkSession
+    # truncated plans hide offenders (CLAUDE.md) — and truncation
+    # points drift with expr-id widths, so they also break stability
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return hashlib.md5(normalize_plan(plan).encode("utf-8")).hexdigest()
+
+
+def all_query_digests(
+    spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"
+) -> dict[str, str]:
+    """Digest for every registered contract query, keyed by name."""
+    from sjot_spark.queries import QUERIES
+
+    return {
+        name: optimized_plan_digest(q(spark, sf_dir))
+        for name, q in QUERIES.items()
+    }

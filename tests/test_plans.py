@@ -300,3 +300,28 @@ def test_no_split_inside_any_lambda_body(spark):
                 offenders.append(name)
                 break
     assert offenders == [], offenders
+
+
+def test_plan_digests(spark):
+    """Every contract query's OPTIMIZED plan digest matches the
+    checked-in fixture (r5 hunt follow-up: three optimizer rules can
+    silently re-inline staged arrays — value-invisible, 10-50x wall).
+    A mismatch means the plan changed: review it, then regenerate via
+    `python scripts/plan_digests.py` and commit the fixture WITH the
+    change that caused it."""
+    import json
+    import os
+
+    from sjot_spark.plan.digest import all_query_digests
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "plan_digests.json")
+    with open(fixture) as f:
+        expected = json.load(f)
+    got = all_query_digests(spark, "/root/testdata/sf0.001")
+    changed = sorted(
+        k for k in set(expected) | set(got)
+        if expected.get(k) != got.get(k))
+    assert changed == [], (
+        f"plan digests changed for {changed}; if intentional, "
+        "regenerate with scripts/plan_digests.py")
