@@ -30,9 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 _EXPR_ID = re.compile(r"#\d+")
 _PLAN_ID = re.compile(r"plan_id=\d+")
 _SF_DIR = re.compile(r"/root/testdata/sf[0-9.]+")
+# NamedLambdaVariable prints as `lambda x_1#57` — the numeric NAME
+# suffix (x_1 vs x_3) is a session-global counter, fresh-history-
+# dependent just like expr ids; every occurrence carries the
+# `lambda ` prefix, so the rewrite can't touch real columns.
+_LAMBDA_VAR = re.compile(r"lambda (\w+?)_\d+#")
 
 
 def normalize_plan(plan: str) -> str:
+    plan = _LAMBDA_VAR.sub(r"lambda \1_#", plan)
     plan = _EXPR_ID.sub("#", plan)
     plan = _PLAN_ID.sub("plan_id=", plan)
     plan = _SF_DIR.sub("<sf>", plan)
@@ -43,8 +49,15 @@ def optimized_plan_digest(df: DataFrame) -> str:
     """md5 of the normalized optimized logical plan."""
     spark = df.sparkSession
     # truncated plans hide offenders (CLAUDE.md) — and truncation
-    # points drift with expr-id widths, so they also break stability
+    # points drift with expr-id widths, so they also break stability.
+    # A query whose construction persists a subtree (the engine's
+    # violations cache) embeds that subtree's PHYSICAL plan in the
+    # optimized logical plan via InMemoryRelation, where FileScan
+    # metadata (DataFilters, ReadSchema, …) is cut at
+    # maxMetadataStringLength (default 100) — measured from the RAW
+    # string, so the visible prefix shifts with expr-id widths too.
     spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000000")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     return hashlib.md5(normalize_plan(plan).encode("utf-8")).hexdigest()
 
@@ -52,10 +65,25 @@ def optimized_plan_digest(df: DataFrame) -> str:
 def all_query_digests(
     spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"
 ) -> dict[str, str]:
-    """Digest for every registered contract query, keyed by name."""
+    """Digest for every registered contract query, keyed by name.
+
+    The cache manager substitutes InMemoryRelation into ANY plan whose
+    subtree matches a persisted DataFrame (the CLAUDE.md trap) — e.g.
+    the engine's internal violations persist — which would make a
+    digest depend on what ran earlier in the session. Clearing the
+    cache before each query pins every digest to the cold plan."""
     from sjot_spark.queries import QUERIES
 
-    return {
-        name: optimized_plan_digest(q(spark, sf_dir))
-        for name, q in QUERIES.items()
-    }
+    # Raise the string-length confs BEFORE any query construction:
+    # a persisting query stringifies its cached physical plan during
+    # construction, and FileSourceScanExec.metadata is a lazy val —
+    # once evaluated under the default 100-char truncation it stays
+    # truncated for that exec instance, poisoning the digest.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000000")
+    out = {}
+    for name, q in QUERIES.items():
+        spark.catalog.clearCache()
+        out[name] = optimized_plan_digest(q(spark, sf_dir))
+    spark.catalog.clearCache()
+    return out
