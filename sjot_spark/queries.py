@@ -2980,6 +2980,116 @@ QUERIES["source_mix"] = q_source_mix
 ORACLES["source_mix"] = ORACLE_SOURCE_MIX
 
 
+def q_source_mix_epochs(spark, sf_dir):
+    """Epoch-upsampled token-budget mixture (datapipe/mixing.py,
+    mix_rates(max_epochs=8) + mix_sample_epochs): budget = 2x the
+    corpus tokens, so high-weight sources REPEAT (rate > 1e6 ppm,
+    the Pile/LLaMA-style multi-epoch recipe) while low-weight ones
+    still downsample — both regimes in one ledger. The Spark side
+    actually materializes the per-(doc, epoch) corpus via the bounded
+    explode and aggregates it; docs_out/tokens_out/epoch_sum are
+    value-checked against the oracle's closed-form arithmetic
+    (SUM(n_copies), SUM(n_tok*n_copies), SUM(n_copies*(n_copies-1)/2)
+    — the opposite mechanism, no unnest)."""
+    from sjot_spark.datapipe import mixing
+
+    docs = load(spark, sf_dir, "documents")
+    nt = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    dn = docs.select("doc_id", "source", nt.alias("n_tok"))
+    weights = (
+        dn.select("source").distinct()
+        .select(
+            "source",
+            (F.lit(10) + F.pmod(
+                F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+                .cast("long"), F.lit(90))).alias("w_permille"),
+        )
+    )
+    budget = dn.agg(F.sum("n_tok").alias("_t")).select(
+        F.expr("_t * 2").cast("long").alias("total_budget"))
+    rates = mixing.mix_rates(dn, weights, budget, max_epochs=8)
+    sample = mixing.mix_sample_epochs(dn, rates)
+    sa = sample.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_out"),
+        F.sum("n_tok").cast("long").alias("tokens_out"),
+        F.sum("epoch").cast("long").alias("epoch_sum"),
+    )
+    return rates.join(sa, "source", "left").select(
+        "source", "w_permille", "n_input", "tokens_input",
+        "budget_tokens", "rate_ppm",
+        F.expr("rate_ppm div 1000000").cast("long").alias("n_full"),
+        F.pmod(F.col("rate_ppm"), F.lit(1000000)).cast("long")
+        .alias("frac_ppm"),
+        F.coalesce("docs_out", F.lit(0)).cast("long").alias("docs_out"),
+        F.coalesce("tokens_out", F.lit(0)).cast("long")
+        .alias("tokens_out"),
+        F.coalesce("epoch_sum", F.lit(0)).cast("long")
+        .alias("epoch_sum"),
+    )
+
+
+ORACLE_SOURCE_MIX_EPOCHS = r"""
+WITH dn AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_tok
+  FROM documents),
+w AS (
+  SELECT source,
+         10 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 90)
+           AS w_permille
+  FROM (SELECT DISTINCT source FROM dn)),
+b AS (SELECT SUM(n_tok)::BIGINT * 2 AS total_budget FROM dn),
+stats AS (
+  SELECT source, COUNT(*)::BIGINT AS n_input,
+         SUM(n_tok)::BIGINT AS tokens_input
+  FROM dn GROUP BY source),
+rates AS (
+  SELECT s.source, w.w_permille, s.n_input, s.tokens_input,
+         (b.total_budget * w.w_permille) // 1000 AS budget_tokens,
+         CASE WHEN s.tokens_input <= 0
+                OR (b.total_budget * w.w_permille) // 1000 <= 0
+              THEN 0
+              ELSE LEAST(8000000,
+                ((b.total_budget * w.w_permille) // 1000
+                   // s.tokens_input) * 1000000
+                + ((((b.total_budget * w.w_permille) // 1000)
+                     % s.tokens_input) * 1000 // s.tokens_input) * 1000
+                + ((((((b.total_budget * w.w_permille) // 1000)
+                       % s.tokens_input) * 1000) % s.tokens_input)
+                   * 1000 // s.tokens_input))
+         END::BIGINT AS rate_ppm
+  FROM stats s JOIN w ON w.source = s.source CROSS JOIN b),
+percopy AS (
+  SELECT d.source, d.n_tok,
+         r.rate_ppm // 1000000
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 1000000
+                     < r.rate_ppm % 1000000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM dn d JOIN rates r ON r.source = d.source),
+outagg AS (
+  SELECT source, SUM(n_copies)::BIGINT AS docs_out,
+         SUM(n_tok * n_copies)::BIGINT AS tokens_out,
+         SUM(n_copies * (n_copies - 1) // 2)::BIGINT AS epoch_sum
+  FROM percopy GROUP BY source)
+SELECT r.source, r.w_permille, r.n_input, r.tokens_input,
+       r.budget_tokens, r.rate_ppm,
+       (r.rate_ppm // 1000000)::BIGINT AS n_full,
+       (r.rate_ppm % 1000000)::BIGINT AS frac_ppm,
+       COALESCE(o.docs_out, 0)::BIGINT AS docs_out,
+       COALESCE(o.tokens_out, 0)::BIGINT AS tokens_out,
+       COALESCE(o.epoch_sum, 0)::BIGINT AS epoch_sum
+FROM rates r LEFT JOIN outagg o ON o.source = r.source
+"""
+
+QUERIES["source_mix_epochs"] = q_source_mix_epochs
+ORACLES["source_mix_epochs"] = ORACLE_SOURCE_MIX_EPOCHS
+
+
 # ---------------------- exact substring dedup (Lee et al. 2021, r5)
 
 def q_substring_dedup(spark, sf_dir):
@@ -3632,6 +3742,11 @@ ORACLES["shard_balance"] = ORACLE_SHARD_BALANCE
 #       length_quantiles, green r5; column_stats keeps drift inside),
 #       and set_intersect — green r3 — (displaces set_except, green
 #       r5; the set-op family swaps its one representative).
+#       Late r6 registration: source_mix_epochs — epoch-upsampled
+#       mixture (rates > 1e6 ppm repeat sources) — enters on
+#       registration per policy, displacing its direct family twin
+#       source_mix (driver-green r5; pack_stats + shard_balance keep
+#       the sampling/write family inside).
 DRIVER_WINDOW = [
     # validation engine + repair
     "validate_violations", "validate_verdicts", "validate_all_features",
@@ -3656,10 +3771,9 @@ DRIVER_WINDOW = [
     "length_histogram", "column_stats",
     # events: windows, sessionization, as-of
     "events_hourly", "sessionization", "top_events_per_user", "events_asof",
-    # packing + sampling + sharding (r5: source_mix displaced its
-    # mechanism twin hash_sample; shard_balance displaced
-    # stratified_sample)
-    "pack_stats", "shard_balance", "source_mix",
+    # packing + sampling + sharding (r6: source_mix_epochs displaces
+    # its family twin source_mix, driver-green r5)
+    "pack_stats", "shard_balance", "source_mix_epochs",
     # relational surface (r6: set_intersect swaps in for set_except;
     # tpch_q3/q5/q10 rotate back for q7/q9/q11)
     "salted_distinct", "set_intersect",

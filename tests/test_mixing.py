@@ -116,6 +116,82 @@ def test_sample_is_deterministic_md5_ppm(corpus, weights, budget):
         and sum(1 for d in got if 60 <= d < 70) == 10
 
 
+def test_epoch_rates_cap_and_uncapped_values(corpus, weights, budget):
+    """max_epochs lifts the 1e6 clamp to max_epochs*1e6 and caps the
+    fan-out; values below the cap are the exact uncapped floor."""
+    # books: allocation 1000 tokens of 400 input = 2.5 epochs
+    rates = {
+        r.source: r.rate_ppm
+        for r in mixing.mix_rates(
+            corpus, weights, budget, max_epochs=8).collect()
+    }
+    assert rates["books"] == 1000 * PPM // 400  # 2_500_000
+    assert rates["web"] == 1000 * PPM // 6000   # unchanged below 1e6
+    assert rates["mystery"] == 0
+    # cap engages: max_epochs=2 clamps books to 2e6
+    capped = {
+        r.source: r.rate_ppm
+        for r in mixing.mix_rates(
+            corpus, weights, budget, max_epochs=2).collect()
+    }
+    assert capped["books"] == 2 * PPM
+    with pytest.raises(ValueError):
+        mixing.mix_rates(corpus, weights, budget, max_epochs=0)
+
+
+def test_epoch_sample_copies_and_epoch_numbering(corpus, weights, budget):
+    """Each doc appears exactly n_copies times with epochs
+    0..n_copies-1, where n_copies = rate div 1e6 + the md5-ppm
+    fractional rule — hand-recomputed in Python per doc."""
+    rates = mixing.mix_rates(corpus, weights, budget, max_epochs=8)
+    sample = mixing.mix_sample_epochs(corpus, rates)
+    got = {}
+    for r in sample.collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+
+    rate_by_src = {r.source: r.rate_ppm for r in rates.collect()}
+    for row in corpus.collect():
+        rate = rate_by_src[row.source]
+        n = rate // PPM + (1 if _md5_ppm(row.doc_id) < rate % PPM else 0)
+        if n == 0:
+            assert row.doc_id not in got, row
+        else:
+            assert sorted(got[row.doc_id]) == list(range(n)), row
+    # books (rate 2.5e6): every doc twice, md5-chosen docs a third time
+    books_counts = sorted(len(got[d]) for d in range(60, 70))
+    assert set(books_counts) <= {2, 3} and books_counts[0] == 2
+
+
+def test_epoch_sample_matches_mix_sample_at_one_epoch(
+        corpus, weights, budget):
+    """With max_epochs=1 rates, mix_sample_epochs is mix_sample plus
+    a constant epoch-0 column."""
+    rates = mixing.mix_rates(corpus, weights, budget)
+    flat = sorted(r.doc_id for r in mixing.mix_sample(
+        corpus, rates).collect())
+    epoched = mixing.mix_sample_epochs(corpus, rates).collect()
+    assert sorted(r.doc_id for r in epoched) == flat
+    assert all(r.epoch == 0 for r in epoched)
+
+
+def test_epoch_sample_rejects_column_collision(corpus, weights, budget):
+    rates = mixing.mix_rates(corpus, weights, budget)
+    withep = corpus.withColumn("epoch", F.lit(9))
+    with pytest.raises(ValueError, match="epoch"):
+        mixing.mix_sample_epochs(withep, rates)
+
+
+def test_epoch_sample_plan_is_broadcast_only(corpus, weights, budget):
+    """The epoch explode must stay fused with the scan: broadcast
+    join only, no corpus Exchange."""
+    rates = mixing.mix_rates(corpus, weights, budget, max_epochs=8)
+    plan = mixing.mix_sample_epochs(corpus, rates)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Generate explode" in plan
+
+
 def test_sample_plan_is_broadcast_only(corpus, weights, budget):
     """The corpus side of mix_sample must pipeline with the scan: the
     only join is a broadcast hash join and the corpus never feeds an
