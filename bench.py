@@ -115,6 +115,10 @@ DRIVER_QUERIES = [
     # round 5b: sub-document dedup + corpus-LM scoring (suite grows
     # by two more queries vs BENCH_r04)
     "substring_dedup_stats", "surprisal_scores",
+    # round 6: bigram/backoff LM scoring + epoch-upsampled mixing
+    # (suite grows by two queries vs BENCH_r05; surprisal_scores
+    # stays for like-for-like cross-round comparison)
+    "surprisal2_scores", "source_mix_epochs",
 ]
 
 

@@ -54,17 +54,24 @@ def assign_shards(
 def shard_balance(
     sharded: DataFrame,
     ntok_col: str = "n_tok",
+    extra_aggs: tuple = (),
 ) -> DataFrame:
     """Per-shard totals + the corpus-wide imbalance statistic:
-    (shard, n_docs, tokens, imbalance_permille) where
+    (shard, n_docs, tokens, *extras, imbalance_permille) where
     imbalance_permille = floor(1000 * (max_shard_tokens - mean)) /
     mean over ALL shards — the same value on every row, so the
     balance assertion reads any row. Integer end to end: mean is
-    total div n_shards (floor), engine-exact."""
+    total div n_shards (floor), engine-exact.
+
+    ``extra_aggs`` — additional ALIASED aggregate Columns folded into
+    the same per-shard pass (single scan, no second aggregation), e.g.
+    counting epoch-upsampled copies per shard."""
     per = sharded.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col(ntok_col)).cast("long").alias("tokens"),
+        *extra_aggs,
     )
+    extra_names = per.columns[3:]
     # |shards|-row relation: the global stats join broadcasts
     glob = per.agg(
         F.max("tokens").alias("_mx"),
@@ -77,7 +84,7 @@ def shard_balance(
     return (
         per.join(broadcast(glob))
         .select(
-            "shard", "n_docs", "tokens",
+            "shard", "n_docs", "tokens", *extra_names,
             F.when(F.col("_mean") > 0,
                    F.expr("(1000 * (_mx - _mean)) div _mean"))
             .otherwise(F.lit(0)).cast("long")

@@ -3090,6 +3090,120 @@ QUERIES["source_mix_epochs"] = q_source_mix_epochs
 ORACLES["source_mix_epochs"] = ORACLE_SOURCE_MIX_EPOCHS
 
 
+def q_epoch_mix_shards(spark, sf_dir):
+    """Epoch mixture → training shards, composed (the r6 stage
+    interface check, like curation_v2 for the r5 stages): the
+    upsampled per-(doc, epoch) corpus from mix_sample_epochs feeds
+    shard assignment KEYED ON doc_id#epoch — repeated copies of a
+    document must SPREAD across shards (hashing bare doc_id would
+    stack all copies of an upsampled doc into one shard, so a
+    training worker reading one shard would see the same document
+    back to back). Output is the per-shard balance ledger plus the
+    per-shard count of epoch>0 copies, all in ONE aggregation pass
+    (shard.shard_balance extra_aggs)."""
+    from sjot_spark.datapipe import mixing, shard
+
+    docs = load(spark, sf_dir, "documents")
+    nt = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    dn = docs.select("doc_id", "source", nt.alias("n_tok"))
+    weights = (
+        dn.select("source").distinct()
+        .select(
+            "source",
+            (F.lit(10) + F.pmod(
+                F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+                .cast("long"), F.lit(90))).alias("w_permille"),
+        )
+    )
+    budget = dn.agg(F.sum("n_tok").alias("_t")).select(
+        F.expr("_t * 2").cast("long").alias("total_budget"))
+    rates = mixing.mix_rates(dn, weights, budget, max_epochs=8)
+    sample = mixing.mix_sample_epochs(dn, rates)
+    keyed = sample.select(
+        "*",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"),
+            F.col("epoch").cast("string")).alias("copy_key"),
+    )
+    sharded = shard.assign_shards(keyed, 16, id_col="copy_key")
+    return shard.shard_balance(
+        sharded,
+        extra_aggs=(
+            F.sum((F.col("epoch") > 0).cast("long")).cast("long")
+            .alias("n_epoch_copies"),
+        ),
+    )
+
+
+ORACLE_EPOCH_MIX_SHARDS = r"""
+WITH dn AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_tok
+  FROM documents),
+w AS (
+  SELECT source,
+         10 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 90)
+           AS w_permille
+  FROM (SELECT DISTINCT source FROM dn)),
+b AS (SELECT SUM(n_tok)::BIGINT * 2 AS total_budget FROM dn),
+stats AS (
+  SELECT source, COUNT(*)::BIGINT AS n_input,
+         SUM(n_tok)::BIGINT AS tokens_input
+  FROM dn GROUP BY source),
+rates AS (
+  SELECT s.source,
+         CASE WHEN s.tokens_input <= 0
+                OR (b.total_budget * w.w_permille) // 1000 <= 0
+              THEN 0
+              ELSE LEAST(8000000,
+                ((b.total_budget * w.w_permille) // 1000
+                   // s.tokens_input) * 1000000
+                + ((((b.total_budget * w.w_permille) // 1000)
+                     % s.tokens_input) * 1000 // s.tokens_input) * 1000
+                + ((((((b.total_budget * w.w_permille) // 1000)
+                       % s.tokens_input) * 1000) % s.tokens_input)
+                   * 1000 // s.tokens_input))
+         END::BIGINT AS rate_ppm
+  FROM stats s JOIN w ON w.source = s.source CROSS JOIN b),
+percopy AS (
+  SELECT d.doc_id, d.n_tok,
+         r.rate_ppm // 1000000
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 1000000
+                     < r.rate_ppm % 1000000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM dn d JOIN rates r ON r.source = d.source),
+expanded AS (
+  SELECT doc_id, n_tok, unnest(generate_series(0, n_copies - 1)) AS epoch
+  FROM percopy WHERE n_copies > 0),
+sharded AS (
+  SELECT n_tok, epoch,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                             || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT
+           % 16 AS shard
+  FROM expanded),
+per AS (
+  SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens,
+         SUM(CASE WHEN epoch > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_epoch_copies
+  FROM sharded GROUP BY shard),
+tot AS (
+  SELECT MAX(tokens) AS mx, SUM(tokens) // COUNT(*) AS mean FROM per)
+SELECT p.shard, p.n_docs, p.tokens, p.n_epoch_copies,
+       CASE WHEN g.mean > 0
+            THEN (1000 * (g.mx - g.mean)) // g.mean ELSE 0
+       END::BIGINT AS imbalance_permille
+FROM per p CROSS JOIN tot g
+"""
+
+QUERIES["epoch_mix_shards"] = q_epoch_mix_shards
+ORACLES["epoch_mix_shards"] = ORACLE_EPOCH_MIX_SHARDS
+
+
 # ---------------------- exact substring dedup (Lee et al. 2021, r5)
 
 def q_substring_dedup(spark, sf_dir):
@@ -3742,11 +3856,15 @@ ORACLES["shard_balance"] = ORACLE_SHARD_BALANCE
 #       length_quantiles, green r5; column_stats keeps drift inside),
 #       and set_intersect — green r3 — (displaces set_except, green
 #       r5; the set-op family swaps its one representative).
-#       Late r6 registration: source_mix_epochs — epoch-upsampled
+#       Late r6 registrations: source_mix_epochs — epoch-upsampled
 #       mixture (rates > 1e6 ppm repeat sources) — enters on
 #       registration per policy, displacing its direct family twin
-#       source_mix (driver-green r5; pack_stats + shard_balance keep
-#       the sampling/write family inside).
+#       source_mix (driver-green r5); epoch_mix_shards — the r6
+#       stage composition (epoch mixture → per-copy-keyed shard
+#       assignment + balance) — displaces its family twin
+#       shard_balance (driver-green r5; epoch_mix_shards exercises
+#       the same assignment+balance mechanism end to end, and
+#       pack_stats keeps the write family inside).
 DRIVER_WINDOW = [
     # validation engine + repair
     "validate_violations", "validate_verdicts", "validate_all_features",
@@ -3771,9 +3889,10 @@ DRIVER_WINDOW = [
     "length_histogram", "column_stats",
     # events: windows, sessionization, as-of
     "events_hourly", "sessionization", "top_events_per_user", "events_asof",
-    # packing + sampling + sharding (r6: source_mix_epochs displaces
-    # its family twin source_mix, driver-green r5)
-    "pack_stats", "shard_balance", "source_mix_epochs",
+    # packing + sampling + sharding (r6: source_mix_epochs and the
+    # epoch_mix_shards composition displace their family twins
+    # source_mix and shard_balance, both driver-green r5)
+    "pack_stats", "epoch_mix_shards", "source_mix_epochs",
     # relational surface (r6: set_intersect swaps in for set_except;
     # tpch_q3/q5/q10 rotate back for q7/q9/q11)
     "salted_distinct", "set_intersect",

@@ -45,3 +45,47 @@ def test_assignment_is_projection_only(dn):
     plan = shard.assign_shards(dn, 4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # pure projection, fused with scan
+
+
+def test_balance_extra_aggs_single_pass(dn, spark):
+    """extra_aggs fold into the SAME per-shard aggregation (one
+    HashAggregate pair, no second scan) and surface between tokens
+    and imbalance_permille."""
+    sharded = shard.assign_shards(dn.withColumn(
+        "flag", (F.col("doc_id") % 2 == 0).cast("long")), 4)
+    out = shard.shard_balance(
+        sharded, extra_aggs=(F.sum("flag").cast("long").alias("n_even"),))
+    assert out.columns == [
+        "shard", "n_docs", "tokens", "n_even", "imbalance_permille"]
+    per = {}
+    for i in range(40):
+        s = _shard_of(i, 4)
+        per[s] = per.get(s, 0) + (1 if i % 2 == 0 else 0)
+    assert {r.shard: r.n_even for r in out.collect()} == per
+    # the extra agg folds into the SAME per-shard Aggregate as
+    # n_docs/tokens — one Aggregate carries all three functions (the
+    # subtree also prints a second, column-PRUNED copy feeding the
+    # global stats, which Catalyst narrows to sum(n_tok) alone)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert any(
+        "Aggregate [shard" in line and "count(1)" in line
+        and "sum(flag" in line and "sum(n_tok" in line
+        for line in plan.splitlines()), plan
+
+
+def test_epoch_copies_spread_across_shards(spark):
+    """Sharding the epoch corpus by doc_id#epoch must SPREAD a
+    document's copies over shards; hashing bare doc_id would stack
+    them. Hand-computed md5 check on a 4-copy doc."""
+    copies = spark.createDataFrame(
+        [(7, 25, e) for e in range(4)] + [(9, 10, 0)],
+        "doc_id int, n_tok long, epoch int")
+    keyed = copies.select(
+        "*", F.concat_ws("#", F.col("doc_id").cast("string"),
+                         F.col("epoch").cast("string")).alias("copy_key"))
+    got = {(r.doc_id, r.epoch): r.shard for r in
+           shard.assign_shards(keyed, 16, id_col="copy_key").collect()}
+    want = {(d, e): _shard_of(f"{d}#{e}", 16)
+            for (d, e) in [(7, 0), (7, 1), (7, 2), (7, 3), (9, 0)]}
+    assert got == want
+    assert len({got[(7, e)] for e in range(4)}) > 1  # actually spread
