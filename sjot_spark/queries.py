@@ -3204,6 +3204,82 @@ QUERIES["epoch_mix_shards"] = q_epoch_mix_shards
 ORACLES["epoch_mix_shards"] = ORACLE_EPOCH_MIX_SHARDS
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Census drift between two corpus snapshots
+    (datapipe/censusdrift.py): documents split ~50/50 by md5-ppm of
+    doc_id (the incremental_dedup snapshot discipline), top-300
+    census each, FULL OUTER share comparison with exact integer ppm
+    — the crawl-intake gate that flags token-distribution shift
+    before a batch merges. Per-token drift rows; the one-row L1/PSI
+    verdict is census_drift_stats over this same table (pytest-
+    covered)."""
+    from sjot_spark.datapipe import censusdrift, surprisal
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hp = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"), F.lit(1000000))
+    snap_a = docs.where(hp < 500000)
+    snap_b = docs.where(hp >= 500000)
+    return censusdrift.census_drift(
+        surprisal.token_census(snap_a, "text", max_vocab=300),
+        censusdrift.census_totals(snap_a, "text"),
+        surprisal.token_census(snap_b, "text", max_vocab=300),
+        censusdrift.census_totals(snap_b, "text"),
+    )
+
+
+ORACLE_VOCAB_DRIFT = r"""
+WITH dn AS (
+  SELECT text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS hp
+  FROM documents),
+ta AS (
+  SELECT COALESCE(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END), 0)::BIGINT AS total
+  FROM dn WHERE hp < 500000),
+tb AS (
+  SELECT COALESCE(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END), 0)::BIGINT AS total
+  FROM dn WHERE hp >= 500000),
+ca AS (
+  SELECT token, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM dn WHERE hp < 500000 AND length(trim(text)) > 0)
+  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 300),
+cb AS (
+  SELECT token, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM dn WHERE hp >= 500000 AND length(trim(text)) > 0)
+  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 300),
+j AS (
+  SELECT COALESCE(a.token, b.token) AS token,
+         COALESCE(a.cnt, 0)::BIGINT AS cnt_a,
+         COALESCE(b.cnt, 0)::BIGINT AS cnt_b
+  FROM ca a FULL OUTER JOIN cb b ON a.token = b.token),
+shares AS (
+  SELECT j.token, j.cnt_a, j.cnt_b,
+         CASE WHEN ta.total <= 0 THEN 0
+              ELSE (j.cnt_a * 1000 // ta.total) * 1000
+                   + (j.cnt_a * 1000) % ta.total * 1000 // ta.total
+         END::BIGINT AS ppm_a,
+         CASE WHEN tb.total <= 0 THEN 0
+              ELSE (j.cnt_b * 1000 // tb.total) * 1000
+                   + (j.cnt_b * 1000) % tb.total * 1000 // tb.total
+         END::BIGINT AS ppm_b
+  FROM j CROSS JOIN ta CROSS JOIN tb)
+SELECT token, cnt_a, cnt_b, ppm_a, ppm_b,
+       abs(ppm_a - ppm_b)::BIGINT AS delta_ppm
+FROM shares
+"""
+
+QUERIES["vocab_drift"] = q_vocab_drift
+ORACLES["vocab_drift"] = ORACLE_VOCAB_DRIFT
+
+
 # ---------------------- exact substring dedup (Lee et al. 2021, r5)
 
 def q_substring_dedup(spark, sf_dir):
@@ -3864,7 +3940,10 @@ ORACLES["shard_balance"] = ORACLE_SHARD_BALANCE
 #       assignment + balance) — displaces its family twin
 #       shard_balance (driver-green r5; epoch_mix_shards exercises
 #       the same assignment+balance mechanism end to end, and
-#       pack_stats keeps the write family inside).
+#       pack_stats keeps the write family inside); vocab_drift —
+#       census drift between corpus snapshots — displaces
+#       length_histogram (driver-green r3; column_stats keeps the
+#       drift family inside).
 DRIVER_WINDOW = [
     # validation engine + repair
     "validate_violations", "validate_verdicts", "validate_all_features",
@@ -3884,9 +3963,9 @@ DRIVER_WINDOW = [
     "decontam_overlap", "canonical_docs", "boilerplate_stats",
     # similarity / ANN / quantization
     "knn_cosine", "ann_lsh", "ann_ivf_recall", "embed_quantize_stats",
-    # drift / column stats (r6: length_histogram rotates back,
-    # displacing length_quantiles)
-    "length_histogram", "column_stats",
+    # drift / column stats (r6: the new vocab_drift census-shift
+    # gate displaces length_histogram, driver-green r3)
+    "vocab_drift", "column_stats",
     # events: windows, sessionization, as-of
     "events_hourly", "sessionization", "top_events_per_user", "events_asof",
     # packing + sampling + sharding (r6: source_mix_epochs and the
