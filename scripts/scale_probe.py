@@ -37,7 +37,8 @@ PAIRS = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "2"))
 DOC_LEN = 100
 CACHE = "/tmp/sjot_bench/docs_probe_{rows}_v1"
 
-OPS = ("sub", "dec", "sur")
+OPS = tuple(
+    os.environ.get("SPARK_GRAFT_PROBE_OPS", "sub,dec,sur,mix").split(","))
 
 
 def _gen(spark, rows: int):
@@ -104,14 +105,35 @@ def _run_one(op: str, rows: int) -> float:
 
             return decontam.contaminated_docs(
                 d, _eval_gram_hashes(d), "doc_id", "text", n=8)
-        from sjot_spark.datapipe import surprisal
+        if op == "sur":
+            from sjot_spark.datapipe import surprisal
 
-        census = surprisal.token_census(d, "text", max_vocab=500)
-        scored = surprisal.score_documents(
-            d, census, "doc_id", "text", carry_cols=("source",))
-        return scored.groupBy("source").agg(
-            F.sum("bits_sum").alias("bits_total"),
-            F.sum("score_permille").alias("score_sum"))
+            census = surprisal.token_census(d, "text", max_vocab=500)
+            scored = surprisal.score_documents(
+                d, census, "doc_id", "text", carry_cols=("source",))
+            return scored.groupBy("source").agg(
+                F.sum("bits_sum").alias("bits_total"),
+                F.sum("score_permille").alias("score_sum"))
+        # mix: epoch-upsampled mixture (budget 2x, max_epochs 8) —
+        # stats agg + broadcast rates + bounded explode, then the
+        # output ledger agg (the source_mix_epochs query shape)
+        from sjot_spark.datapipe import mixing
+
+        nt = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        dn = d.select("doc_id", "source", nt.alias("n_tok"))
+        weights = dn.select("source").distinct().select(
+            "source",
+            (F.lit(10) + F.pmod(
+                F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+                .cast("long"), F.lit(90))).alias("w_permille"))
+        budget = dn.agg(F.sum("n_tok").alias("_t")).select(
+            F.expr("_t * 2").cast("long").alias("total_budget"))
+        rates = mixing.mix_rates(dn, weights, budget, max_epochs=8)
+        sample = mixing.mix_sample_epochs(dn, rates)
+        return sample.groupBy("source").agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_tok").alias("tokens_out"),
+            F.sum("epoch").alias("epoch_sum"))
 
     # untimed warmup on a slice: JIT + codegen + parquet footers
     build(docs.limit(max(rows // 20, 500))).write.format("noop") \
