@@ -51,6 +51,57 @@ def assign_shards(
     )
 
 
+def training_order(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Adds the deterministic (shard, order_key) pair that defines a
+    pseudo-random global training order WITHOUT a global sort: the
+    corpus order is (shard ASC, order_key ASC) where order_key =
+    md5(salt#doc_id) — a data loader reading shard files in key
+    order sees an md5-shuffled document sequence, reproducibly, on
+    any cluster size (the Megatron/T5-style deterministic shuffle).
+    ``salt`` re-deals the order between training runs (epoch seeds)
+    without touching shard membership iff the caller keeps
+    assignment and order salts separate — here the SAME salt feeds
+    both, which re-deals shards too; pass salt="" for the stable
+    assignment of :func:`assign_shards`.
+
+    A pure projection (zero shuffle); the writer pays one
+    repartition-by-shard — the shuffle any sharded write needs —
+    and sorts WITHIN partitions only (:func:`write_training_shards`);
+    nothing ever global-sorts."""
+    key_src = F.concat(F.lit(salt), F.lit("#"),
+                       F.col(id_col).cast("string"))
+    return docs.select(
+        "*",
+        F.pmod(_md5_int(key_src), F.lit(n_shards)).cast("long")
+        .alias("shard"),
+        _md5_int(key_src, prefix="ord:").alias("order_key"),
+    )
+
+
+def write_training_shards(
+    ordered: DataFrame, path: str, n_shards: int | None = None
+) -> None:
+    """Write the training corpus as shard=N parquet directories whose
+    file row order IS the training order: partitions clustered on the
+    shard column (repartition — the single shuffle any sharded write
+    needs; two shards hashing to one task still split into their own
+    directories, each internally ordered) and an in-partition sort by
+    (shard, order_key) — no global sort, no driver involvement.
+    Overwrite mode makes a retried write byte-stable (same keys, same
+    order — replay idempotent, the incremental.py discipline).
+    ``n_shards`` defaults to a distinct count when not given."""
+    n = n_shards or ordered.select("shard").distinct().count()
+    (ordered
+     .repartition(max(int(n), 1), "shard")
+     .sortWithinPartitions("shard", "order_key")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
 def shard_balance(
     sharded: DataFrame,
     ntok_col: str = "n_tok",

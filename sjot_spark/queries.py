@@ -3280,6 +3280,54 @@ QUERIES["vocab_drift"] = q_vocab_drift
 ORACLES["vocab_drift"] = ORACLE_VOCAB_DRIFT
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic training-order assignment
+    (datapipe/shard.py training_order, 8 shards, salt "r6"): the
+    pseudo-random global order (shard ASC, order_key ASC) that
+    write_training_shards materializes without a global sort. Ledger
+    = per-shard doc/token totals + min/max/xor of the order keys —
+    xor is order-invariant, so it pins the exact KEY SET per shard
+    while the write-side ordering itself is pytest-verified by
+    reading shard files back (test_shard)."""
+    from sjot_spark.datapipe import shard
+
+    docs = load(spark, sf_dir, "documents")
+    nt = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    dn = docs.select("doc_id", nt.alias("n_tok"))
+    ordered = shard.training_order(dn, 8, salt="r6")
+    return ordered.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.min("order_key").cast("long").alias("min_key"),
+        F.max("order_key").cast("long").alias("max_key"),
+        F.bit_xor("order_key").cast("long").alias("key_xor"),
+    )
+
+
+ORACLE_TRAINING_ORDER = r"""
+WITH dn AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_tok,
+         ('0x' || substr(md5('r6#' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 8 AS shard,
+         ('0x' || substr(md5('ord:r6#' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT AS order_key
+  FROM documents)
+SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens,
+       MIN(order_key)::BIGINT AS min_key,
+       MAX(order_key)::BIGINT AS max_key,
+       BIT_XOR(order_key)::BIGINT AS key_xor
+FROM dn GROUP BY shard
+"""
+
+QUERIES["training_order_stats"] = q_training_order
+ORACLES["training_order_stats"] = ORACLE_TRAINING_ORDER
+
+
 # ---------------------- exact substring dedup (Lee et al. 2021, r5)
 
 def q_substring_dedup(spark, sf_dir):
@@ -3943,7 +3991,11 @@ ORACLES["shard_balance"] = ORACLE_SHARD_BALANCE
 #       pack_stats keeps the write family inside); vocab_drift —
 #       census drift between corpus snapshots — displaces
 #       length_histogram (driver-green r3; column_stats keeps the
-#       drift family inside).
+#       drift family inside); training_order_stats — deterministic
+#       pseudo-random training order + ordered shard writer —
+#       displaces simhash_pairs (driver-green r4, rotates back r7;
+#       substring_dedup_stats + incremental_dedup's banded probe
+#       keep the fuzzy-dedup family inside).
 DRIVER_WINDOW = [
     # validation engine + repair
     "validate_violations", "validate_verdicts", "validate_all_features",
@@ -3956,10 +4008,12 @@ DRIVER_WINDOW = [
     # fingerprint_overlap rotates back per policy)
     "surprisal2_scores", "lang_id_counts", "repetition_stats", "pii_scan",
     "bpe_tokenize_stats", "fingerprint_overlap",
-    # dedup family (r6: simhash_pairs rotates back, displacing
-    # minhash_lsh; curation_v2 below keeps the composition family)
+    # dedup family (r6: training_order_stats — the ordered-shard
+    # write ledger — takes simhash_pairs' slot, green r4; the
+    # fuzzy-dedup family keeps substring_dedup_stats +
+    # incremental_dedup's banded probe inside)
     "exact_dedup_stats", "incremental_dedup",
-    "simhash_pairs", "substring_dedup_stats", "dedup_clusters",
+    "training_order_stats", "substring_dedup_stats", "dedup_clusters",
     "decontam_overlap", "canonical_docs", "boilerplate_stats",
     # similarity / ANN / quantization
     "knn_cosine", "ann_lsh", "ann_ivf_recall", "embed_quantize_stats",

@@ -89,3 +89,53 @@ def test_epoch_copies_spread_across_shards(spark):
             for (d, e) in [(7, 0), (7, 1), (7, 2), (7, 3), (9, 0)]}
     assert got == want
     assert len({got[(7, e)] for e in range(4)}) > 1  # actually spread
+
+
+def test_training_order_keys_hand_computed(dn):
+    """shard and order_key are exactly the salted md5 values, and
+    the two hashes are independent (different prefixes)."""
+    got = {r.doc_id: (r.shard, r.order_key) for r in
+           shard.training_order(dn, 8, salt="r6").collect()}
+    for i in range(40):
+        want_shard = _shard_of(f"r6#{i}", 8)
+        want_key = int(hashlib.md5(
+            f"ord:r6#{i}".encode()).hexdigest()[:15], 16)
+        assert got[i] == (want_shard, want_key), i
+
+
+def test_training_order_is_projection_only(dn):
+    plan = shard.training_order(dn, 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_write_training_shards_file_order(dn, spark, tmp_path):
+    """The written shard files ARE the training order: every parquet
+    file within each shard=N directory is monotonically increasing
+    in order_key, and a re-write (replay) reproduces the same keys
+    in the same order."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "shards")
+    ordered = shard.training_order(dn, 4, salt="s")
+    shard.write_training_shards(ordered, path, n_shards=4)
+
+    def read_orders(p):
+        out = {}
+        for f in sorted(_glob.glob(f"{p}/shard=*/*.parquet")):
+            sh = int(f.split("shard=")[1].split("/")[0])
+            keys = pq.read_table(f, columns=["order_key"]) \
+                .column("order_key").to_pylist()
+            out.setdefault(sh, []).extend(keys)
+        return out
+
+    first = read_orders(path)
+    assert set(first) == {0, 1, 2, 3}
+    for sh, keys in first.items():
+        assert keys == sorted(keys), f"shard {sh} not in training order"
+    assert sum(len(k) for k in first.values()) == 40
+    # replay: overwrite produces the identical order
+    shard.write_training_shards(ordered, path, n_shards=4)
+    assert read_orders(path) == first
