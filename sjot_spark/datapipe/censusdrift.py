@@ -62,8 +62,13 @@ def census_totals(
     in-engine so drift math never collects to the driver."""
     from sjot_spark.datapipe.dedup import blank_tokens_of
 
+    # SUM over zero rows is NULL; coalesce to 0 so an empty snapshot
+    # yields total_tokens=0 and the ppm CASE's <=0 branch fires (ppm 0,
+    # matching the vocab_drift oracle's COALESCEd totals) instead of
+    # NULL-ing every share (ADVICE r6)
     return docs.agg(
-        F.sum(F.size(blank_tokens_of(F.col(text_col))))
+        F.coalesce(F.sum(F.size(blank_tokens_of(F.col(text_col)))),
+                   F.lit(0))
         .cast("long").alias("total_tokens"))
 
 

@@ -66,8 +66,10 @@ def training_order(
     ``salt`` re-deals the order between training runs (epoch seeds)
     without touching shard membership iff the caller keeps
     assignment and order salts separate — here the SAME salt feeds
-    both, which re-deals shards too; pass salt="" for the stable
-    assignment of :func:`assign_shards`.
+    both, which re-deals shards too. Note (ADVICE r6): even salt=""
+    hashes "#<id>" while :func:`assign_shards` hashes the bare id, so
+    training_order's shard membership NEVER matches assign_shards';
+    it is stable across runs for a fixed salt, nothing more.
 
     A pure projection (zero shuffle); the writer pays one
     repartition-by-shard — the shuffle any sharded write needs —

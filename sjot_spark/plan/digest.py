@@ -24,8 +24,33 @@ from __future__ import annotations
 
 import hashlib
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+_STRING_CONFS = {
+    "spark.sql.debug.maxToStringFields": "100000",
+    "spark.sql.maxMetadataStringLength": "1000000",
+}
+
+
+@contextmanager
+def _plan_string_confs(spark: SparkSession):
+    """Temporarily raise the plan-stringification confs, restoring the
+    caller's values (or unsetting) on exit — digesting must not leak
+    verbose stringification into the shared session (ADVICE r6)."""
+    prior: dict[str, str | None] = {}
+    for k, v in _STRING_CONFS.items():
+        prior[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prior.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 _EXPR_ID = re.compile(r"#\d+")
 _PLAN_ID = re.compile(r"plan_id=\d+")
@@ -35,10 +60,16 @@ _SF_DIR = re.compile(r"/root/testdata/sf[0-9.]+")
 # dependent just like expr ids; every occurrence carries the
 # `lambda ` prefix, so the rewrite can't touch real columns.
 _LAMBDA_VAR = re.compile(r"lambda (\w+?)_\d+#")
+# queries.load()'s scan-parallelism restoration repartitions to the
+# session's defaultParallelism — a core-count constant that must not
+# leak into digests (the regen script and the test session may run at
+# different SPARK_GRAFT_CPUS)
+_REPARTITION_N = re.compile(r"Repartition \d+")
 
 
 def normalize_plan(plan: str) -> str:
     plan = _LAMBDA_VAR.sub(r"lambda \1_#", plan)
+    plan = _REPARTITION_N.sub("Repartition <p>", plan)
     plan = _EXPR_ID.sub("#", plan)
     plan = _PLAN_ID.sub("plan_id=", plan)
     plan = _SF_DIR.sub("<sf>", plan)
@@ -56,9 +87,10 @@ def optimized_plan_digest(df: DataFrame) -> str:
     # metadata (DataFilters, ReadSchema, …) is cut at
     # maxMetadataStringLength (default 100) — measured from the RAW
     # string, so the visible prefix shifts with expr-id widths too.
-    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "1000000")
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # The session-shared confs are restored afterwards (ADVICE r6:
+    # leaking them left verbose plan stringification on the session).
+    with _plan_string_confs(spark):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
     return hashlib.md5(normalize_plan(plan).encode("utf-8")).hexdigest()
 
 
@@ -78,12 +110,12 @@ def all_query_digests(
     # a persisting query stringifies its cached physical plan during
     # construction, and FileSourceScanExec.metadata is a lazy val —
     # once evaluated under the default 100-char truncation it stays
-    # truncated for that exec instance, poisoning the digest.
-    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "1000000")
+    # truncated for that exec instance, poisoning the digest. Restored
+    # on exit (ADVICE r6).
     out = {}
-    for name, q in QUERIES.items():
+    with _plan_string_confs(spark):
+        for name, q in QUERIES.items():
+            spark.catalog.clearCache()
+            out[name] = optimized_plan_digest(q(spark, sf_dir))
         spark.catalog.clearCache()
-        out[name] = optimized_plan_digest(q(spark, sf_dir))
-    spark.catalog.clearCache()
     return out

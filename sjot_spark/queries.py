@@ -48,8 +48,50 @@ DOC_SPEC = {
 }
 
 
+# scan-parallelism memo: (path -> native input split count), so the
+# one-time df.rdd.getNumPartitions() planning probe runs once per table
+_SCAN_PARTS: dict[str, int] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a table whose downstream is PER-ROW-COMPUTE-HEAVY (token
+    hashing, regex/lambda folds, JSON parsing, vector math), restoring
+    scan parallelism when the input is an unsplittable single row
+    group (optimization guide §2.5 "input skew: one huge unsplittable
+    file ... repartition immediately after the read"): the sf test
+    tables are ONE parquet file with ONE row group each, so every
+    scan-side projection would otherwise run on a single core
+    regardless of cluster size. Scale-adaptive, not a local[32]
+    constant: it fires only when the native split count is below the
+    session's defaultParallelism, so any real-scale layout (many files
+    / many row groups) short-circuits to the bare scan with no added
+    exchange; when it does fire, the exchange carries at most one row
+    group. Hash-repartition on the leading column (every driver table
+    leads with its high-cardinality key), NOT round-robin: keyless
+    repartition(n) local-sorts its input first
+    (spark.sql.execution.sortBeforeRepartition, SPARK-23207) — pure
+    overhead here — and a deterministic key sidesteps the
+    retry-duplication hazard of rand-derived keys (SPARK-38388, guide
+    §2.5). Shuffle-dominated consumers (window/join/agg straight off
+    the scan: events sessionization/asof, TPC-H) keep the bare
+    ``load`` — measured at sf0.1, the extra exchange only costs them
+    ~0.2-0.5 s and buys nothing. Filters and column pruning still
+    reach the scan — Catalyst pushes both through
+    RepartitionByExpression."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    p = spark.sparkContext.defaultParallelism
+    n = _SCAN_PARTS.get(path)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[path] = n
+    if n < p:
+        df = df.repartition(p, F.col(df.columns[0]))
+    return df
 
 
 def _cents(col: str):
@@ -72,6 +114,9 @@ def _dims(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def _doc_result(spark, sf_dir):
+    # bare load: the engine evaluates the docs scan in four pruned
+    # subtrees (checks, unique agg, ref join, row stats) — a load_par
+    # exchange would be paid per subtree and measured net-negative
     docs = load(spark, sf_dir, "documents")
     return ValidationEngine(DOC_SPEC).run(docs, dims=_dims(spark))
 
@@ -138,7 +183,7 @@ FROM bad LEFT JOIN vc ON bad.part = vc.part
 # ----------------------------------------------------- text analysis
 
 def q_text_profile(spark, sf_dir):
-    return text.profile_documents(load(spark, sf_dir, "documents"))
+    return text.profile_documents(load_par(spark, sf_dir, "documents"))
 
 
 def _sql_word_count(word: str) -> str:
@@ -158,7 +203,7 @@ FROM documents GROUP BY source
 
 
 def q_lang_id_counts(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return (
         docs.select("lang", text.lang_id(F.col("text")).alias("guessed"))
         .groupBy("lang", "guessed")
@@ -188,7 +233,7 @@ FROM scored GROUP BY 1, 2
 
 
 def q_quality_classes(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return (
         docs.select(
             "source",
@@ -213,6 +258,8 @@ FROM documents GROUP BY 1, 2
 # ------------------------------------------------------------- dedup
 
 def q_exact_dedup_stats(spark, sf_dir):
+    # bare load: one md5-agg pass; partial agg already shrinks the
+    # shuffle, so load_par's exchange is pure cost (measured +0.3 s)
     docs = load(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -237,7 +284,7 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
 
 
@@ -264,20 +311,20 @@ WHERE inter >= 0.3 * (sa.sz + sb.sz - inter)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (rows-only driver check: the banded
     LSH pipeline is not reasonably expressible in one SQL statement)."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text",
                                    n=3, k=16, bands=4, verify_threshold=0.3)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 # -------------------------------------------------------- similarity
 
 def q_knn_cosine(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     return similarity.knn_bruteforce(
         emb, "vec_id", "embedding", [0, 1, 2], k=5
     ).select("query_id", "neighbor_id", "rank")
@@ -302,7 +349,7 @@ def q_ann_lsh(spark, sf_dir):
     signature -> Hamming-candidate -> exact-rerank pipeline reproduces
     in SQL (cos_sim itself is dropped from the output like knn_cosine;
     rank carries a deterministic tie-break)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     return similarity.ann_lsh(
         emb, "vec_id", "embedding", [0, 1, 2],
         k=5, dim=64, n_planes=16, max_hamming=6,
@@ -369,7 +416,7 @@ def q_ann_ivf_hash(spark, sf_dir):
     centroids are the only non-SQL-expressible piece)."""
     from sjot_spark.datapipe.ivf import ann_ivf_hashseed
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     return ann_ivf_hashseed(
         emb, "vec_id", "embedding", [0, 1, 2], k=5, nlist=8, nprobe=3,
     ).select("query_id", "neighbor_id", "rank")
@@ -438,7 +485,7 @@ def q_ann_ivf_recall(spark, sf_dir):
     from sjot_spark.datapipe.ivf import ann_ivf_hashseed
     from sjot_spark.datapipe.similarity import knn_bruteforce
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     ivf = ann_ivf_hashseed(
         emb, "vec_id", "embedding", [0, 1, 2], k=5, nlist=8, nprobe=3,
     ).select("query_id", "neighbor_id")
@@ -476,7 +523,7 @@ def q_cosine_dup_lsh(spark, sf_dir):
     """The embedding near-dup SCALE path through the driver gate:
     bucket by full sign-LSH signature (only collisions shuffle),
     verify cosine >= 0.9 (similarity.cosine_dup_candidates)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     return similarity.cosine_dup_candidates(
         emb, "vec_id", "embedding", dim=64, n_planes=16, threshold=0.9
     ).select("doc_a", "doc_b")
@@ -812,7 +859,7 @@ def q_length_quantiles(spark, sf_dir):
     """Exact length percentiles per source (the oracle-checkable twin
     of the percentile_approx sketch used at scale — see
     ValidationEngine docs / SURVEY §2.7)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     # dyadic percentiles only (0.25/0.5/0.75): the interpolation
     # weights are exact in binary floating point, so Spark and DuckDB
     # produce bit-identical doubles regardless of evaluation order
@@ -871,7 +918,7 @@ def q_length_histogram(spark, sf_dir):
     n_chars counts per source (sjot_spark.plan.drift.length_histogram)."""
     from sjot_spark.plan.drift import length_histogram
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return length_histogram(docs, "n_chars", 64, "source") \
         .withColumnsRenamed({"group": "source"})
 
@@ -917,7 +964,7 @@ def q_fingerprint_overlap(spark, sf_dir):
     MOSS pipeline is not reasonably one-statement SQL)."""
     from sjot_spark.datapipe.fingerprint import fingerprint_overlap_pairs
 
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return fingerprint_overlap_pairs(docs, "doc_id", "text",
                                      k=5, w=8, min_shared=2)
 
@@ -929,7 +976,7 @@ def q_ann_ivf(spark, sf_dir):
     pipeline via ann_ivf_hash + ann_ivf_recall instead."""
     from sjot_spark.datapipe.ivf import ann_ivf
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     return ann_ivf(emb, "vec_id", "embedding", [0, 1, 2], k=5,
                    nlist=8, nprobe=3)
 
@@ -974,7 +1021,7 @@ def q_column_stats(spark, sf_dir):
     plan.stats_profile.column_stats used at scale)."""
     from sjot_spark.plan.stats_profile import exact_column_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return exact_column_stats(docs, ["doc_id", "text", "lang", "source",
                                      "n_chars"])
 
@@ -1008,7 +1055,7 @@ def q_tokenize_stats(spark, sf_dir):
     so the whole tokenize step is oracle-checked."""
     from sjot_spark.datapipe.tokenize import tokenize_documents
 
-    seq = tokenize_documents(load(spark, sf_dir, "documents"))
+    seq = tokenize_documents(load_par(spark, sf_dir, "documents"))
     return seq.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("sum_tok"),
@@ -1040,7 +1087,7 @@ def q_bpe_pretoken_stats(spark, sf_dir):
     counts."""
     from sjot_spark.datapipe.tokenize import pretokenize, token_id_expr
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     staged = docs.select("source", pretokenize(F.col("text")).alias("t"))
     ids = F.transform(F.col("t"), lambda x: token_id_expr(x).cast("long"))
     return (
@@ -1093,7 +1140,7 @@ def q_bpe_tokenize_stats(spark, sf_dir):
     from sjot_spark.datapipe.bpe import SEP, bpe_segment_expr, default_merges
     from sjot_spark.datapipe.tokenize import pretokenize, token_id_expr
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     clean = F.replace(F.col("text"), F.lit(SEP), F.lit(""))
     pre = docs.select("source", F.explode(pretokenize(clean)).alias("w"))
     wt = pre.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1183,7 +1230,7 @@ def q_cosine_dup_exact(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact brute force on a slice
     (the oracle twin of the LSH-bucketed cosine_dup_candidates scale
     path): pairs with cosine >= 0.8 among vec_id < 300."""
-    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    emb = load_par(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     from sjot_spark.datapipe.similarity import cosine
 
     pairs = (
@@ -1293,7 +1340,7 @@ ORACLES["fingerprint_overlap"] = _oracle_fingerprint()
 def q_quality_scores(spark, sf_dir):
     """Integer-exact per-document quality score (length + lexical
     diversity + stopword components; see datapipe.text)."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return docs.select(
         "doc_id",
         text.quality_score_1000(F.col("text"), F.col("n_chars"))
@@ -1414,7 +1461,7 @@ def q_unique_violations(spark, sf_dir):
     partial-agg uniqueness pass (engine._unique_violations — the scaled
     reinterpretation of the reference's set-uniqueness sort,
     index.js:294-299)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     seeded = docs.unionByName(docs.where(F.col("doc_id") % 97 == 3))
     eng = ValidationEngine({
         "@root": "#Doc",
@@ -1611,7 +1658,7 @@ def q_repair_defaults(spark, sf_dir):
     default insertion, index.js:424-442), return the repaired values."""
     d = F.col("doc_id")
     staged = (
-        load(spark, sf_dir, "documents").where(d < 400)
+        load_par(spark, sf_dir, "documents").where(d < 400)
         .select(
             d.cast("string").alias("k"),
             F.when(d % 7 == 2, F.lit(None)).otherwise(F.col("lang"))
@@ -1774,7 +1821,7 @@ def _json_docs(spark, sf_dir, *cols):
     jsonvalidate codegen note). Real column-backed data never has this
     problem — test_jsonvalidate asserts codegen with fallback off."""
     return (
-        load(spark, sf_dir, "documents")
+        load_par(spark, sf_dir, "documents")
         .select(*cols, _json_doc_col().alias("doc"))
         .localCheckpoint(eager=False)
     )
@@ -1869,7 +1916,7 @@ ORACLES.update(TPCH2_ORACLES)
 def q_dedup_clusters(spark, sf_dir):
     from sjot_spark.datapipe.cluster import connected_components
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     stars = docs.select(d.alias("a"), (d - d % 5).alias("b"))
     bridges = (
@@ -1950,7 +1997,7 @@ ORACLES["events_asof"] = ORACLE_EVENTS_ASOF
 def q_pack_stats(spark, sf_dir):
     from sjot_spark.datapipe.pack import pack_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     # budget 800 != the 1000 per-mille multiplier, so the oracle
     # genuinely exercises the fill division (a budget equal to the
     # multiplier would make fill_permille == len_sum on both engines)
@@ -1974,7 +2021,7 @@ FROM packed GROUP BY 1, 2
 def q_stratified_sample(spark, sf_dir):
     from sjot_spark.datapipe.pack import stratified_take
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_take(docs, group="source", key="doc_id", n=5)
 
 
@@ -1991,7 +2038,7 @@ WHERE rk <= 5
 def q_hash_sample(spark, sf_dir):
     from sjot_spark.datapipe.pack import hash_sample
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source")
     return hash_sample(docs, key="doc_id", k=7)
 
 
@@ -2063,7 +2110,7 @@ ORACLES["events_props_validate"] = ORACLE_EVENTS_PROPS_VALIDATE
 def q_repair_sets(spark, sf_dir):
     d = F.col("doc_id")
     staged = (
-        load(spark, sf_dir, "documents").where(d < 500)
+        load_par(spark, sf_dir, "documents").where(d < 500)
         .select(
             d.cast("string").alias("k"),
             F.array(F.col("lang"), F.col("source"),
@@ -2123,7 +2170,7 @@ def q_json_embedded_sjot(spark, sf_dir):
             (d % 3).cast("string"), F.lit('}')))
     )
     staged = (
-        load(spark, sf_dir, "documents").where(d < 2000)
+        load_par(spark, sf_dir, "documents").where(d < 2000)
         .select(d.cast("string").alias("doc_id"), doc.alias("doc"))
     )
     return jsonvalidate.validate_json_column(
@@ -2168,7 +2215,7 @@ ORACLES["json_embedded_sjot"] = ORACLE_JSON_EMBEDDED_SJOT
 def q_salted_distinct(spark, sf_dir):
     from sjot_spark.plan.agg import salted_agg
 
-    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    docs = load_par(spark, sf_dir, "documents").select("source", "doc_id")
     return salted_agg(
         docs, ["source"], {"n_distinct_docs": ("count_distinct", "doc_id")},
         n_salts=16, salt_on="doc_id")
@@ -2191,7 +2238,7 @@ ORACLES["salted_distinct"] = ORACLE_SALTED_DISTINCT
 def q_embed_quantize_stats(spark, sf_dir):
     from sjot_spark.datapipe.quantize import quantize_int8
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_par(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qd = quantize_int8(emb, "embedding")
     qc = F.col("q")
     return qd.select(
@@ -2278,7 +2325,7 @@ def q_json_if_then(spark, sf_dir):
     from sjot_spark import jsonvalidate
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load_par(spark, sf_dir, "documents")
         .select("doc_id", _json_if_then_doc_col().alias("doc"))
         .localCheckpoint(eager=False)  # same barrier as _json_docs
     )
@@ -2340,7 +2387,7 @@ def q_repetition_stats(spark, sf_dir):
     gaps-and-islands runs) — independent cross-check."""
     from sjot_spark.datapipe import repetition
 
-    docs = load(spark, sf_dir, "documents").where(
+    docs = load_par(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
     return repetition.repetition_signals(docs, "doc_id", "text")
@@ -2434,7 +2481,7 @@ def q_pii_scan(spark, sf_dir):
     the oracle checks the value, not the assumption)."""
     from sjot_spark.datapipe import pii
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_par(spark, sf_dir, "documents").select(
         F.col("source"),
         _pii_augment_spark(F.col("doc_id"), F.col("text")).alias("aug"),
     )
@@ -2522,7 +2569,7 @@ def q_decontam_overlap(spark, sf_dir):
     corpus, shuffle only matching grams."""
     from sjot_spark.datapipe import decontam
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     ev = _eval_gram_hashes(docs)
     return decontam.contaminated_docs(docs, ev, "doc_id", "text", n=8)
 
@@ -2572,7 +2619,7 @@ def q_canonical_docs(spark, sf_dir):
         connected_components,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     d = F.col("doc_id")
     ids = docs.select("doc_id")
     stars = ids.select(d.alias("a"), (d - d % 5).alias("b"))
@@ -2658,7 +2705,7 @@ def q_boilerplate_stats(spark, sf_dir):
     from sjot_spark.datapipe import linedup
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load_par(spark, sf_dir, "documents")
         .select(
             "doc_id",
             (F.length(F.trim(F.col("text"))) == 0).alias("_blank"),
@@ -2733,7 +2780,7 @@ def q_corpus_curation(spark, sf_dir):
     so the funnel assembly joins broadcast."""
     from sjot_spark.datapipe import decontam, linedup
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     scored = docs.withColumn(
         "score",
         text.quality_score_1000(F.col("text"), F.col("n_chars")),
@@ -3215,7 +3262,7 @@ def q_vocab_drift(spark, sf_dir):
     covered)."""
     from sjot_spark.datapipe import censusdrift, surprisal
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
     hp = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("long"), F.lit(1000000))
@@ -3339,7 +3386,7 @@ def q_substring_dedup(spark, sf_dir):
     counts."""
     from sjot_spark.datapipe import substringdup
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
     out = substringdup.remove_duplicated_substrings(
         docs, "doc_id", "text", k=10, min_count=2, carry_cols=("source",)
     )
@@ -3420,7 +3467,7 @@ def q_surprisal(spark, sf_dir):
     scoring path including the deterministic vocab cut."""
     from sjot_spark.datapipe import surprisal
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
     census = surprisal.token_census(docs, "text", max_vocab=500)
     scored = surprisal.score_documents(
         docs, census, "doc_id", "text", carry_cols=("source",)
@@ -3488,7 +3535,7 @@ def q_surprisal2(spark, sf_dir):
     bits/score sums check all three scoring paths."""
     from sjot_spark.datapipe import surprisal
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
     uni = surprisal.token_census(docs, "text", max_vocab=500)
     big = surprisal.bigram_census(docs, uni, "text", max_bigrams=2000)
     scored = surprisal.score_documents_bigram(
@@ -3586,7 +3633,7 @@ def q_incremental_dedup(spark, sf_dir):
     from sjot_spark.datapipe import dedup, incremental
     from sjot_spark.datapipe.dedup import _md5_int
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
     is_new = (
         F.pmod(_md5_int(F.col("doc_id").cast("string")), F.lit(5)) == 0
     )
@@ -3693,7 +3740,7 @@ def q_curation_v2(spark, sf_dir):
     from sjot_spark.datapipe import mixing, substringdup, surprisal
     from sjot_spark.datapipe.dedup import _md5_int
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
     sub = substringdup.remove_duplicated_substrings(
         docs, "doc_id", "text", k=10, min_count=2, carry_cols=("source",)
     )
@@ -3876,7 +3923,7 @@ def q_shard_balance(spark, sf_dir):
     from sjot_spark.datapipe import shard
     from sjot_spark.datapipe.dedup import blank_tokens_of
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
     # no per-element lambda anywhere -> no staging needed: size() over
     # the tokenizer expression evaluates once per row
     dn = docs.select(

@@ -86,15 +86,26 @@ def duplicate_stream(
     ``(1 - e^(-k*n/m))^k`` (n keys per bucket, m = bloom_bits,
     k = bloom_hashes; default m = 2^26 bits = 8 MiB per bucket with
     k = 7 gives ≈ 1e-7 at n = 1M keys per bucket) applies — reconcile
-    exactly offline against the batch uniqueness pass.
+    exactly offline against the batch uniqueness pass. CHANGELOG
+    (ADVICE r6): the bloom_bits default grew 1<<23 -> 1<<26 in round 6
+    (1 MiB -> 8 MiB per bucket, ~512 MiB total state at the default 64
+    buckets) to match the documented FP target; pass bloom_bits=1<<23
+    to keep the old state-store footprint.
     ``state_mode="cms"`` keeps a conservative-update count-min sketch
     per bucket (fixed ``cms_width × cms_depth`` uint32 counters =
-    ``4 * width * depth`` bytes; default 2^22 × 4 = 64 MiB): flagged
+    ``4 * width * depth`` bytes; default 2^22 × 4 = 64 MiB PER BUCKET,
+    so budget ``4 * width * depth * n_buckets`` bytes of executor
+    state — 2 GiB at the defaults with n_buckets=32): flagged
     rows carry ``n_prior`` as an UPPER-BOUND estimate of the true
     prior count (CMS never under-counts), still with no false
     negatives. Flag false positives occur when every row's counter is
     already nonzero, ≈ ``(1 - e^(-n/width))^depth`` for n distinct
-    keys per bucket — counters cost 32× the bits of a Bloom filter at
+    keys per bucket — an idealized independent-row figure: the depth
+    rows share one md5 via double hashing (offsets h1 + i*h2), so two
+    keys colliding in (h1 mod width, h2 mod width) collide in EVERY
+    row and the realized rate is somewhat higher for depth > 2 (the
+    upper-bound / no-false-negative invariants are unaffected).
+    Counters cost 32× the bits of a Bloom filter at
     equal slots, so use cms only when the count estimate matters."""
     if state_mode not in ("exact", "bloom", "cms"):
         raise ValueError(
