@@ -64,14 +64,21 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed = round 1 fused into initialization (r7): with identity
+    # labels the propagation join against e IS e, so the first round
+    # reduces to one aggregation over e ∪ (src, src) — no node-distinct
+    # job, no join, no convergence action (round 1 of a non-empty graph
+    # always "changes"); the loop below then runs the remaining
+    # max_iter - 1 rounds with unchanged semantics
     labels = (
-        e.select(F.col("src").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("l"))
+        e.select(F.col("dst").alias("v"), F.col("src").alias("l"))
+        .union(e.select(F.col("src").alias("v"), F.col("src").alias("l")))
+        .groupBy("v")
+        .agg(F.min("l").alias("l"))
         .localCheckpoint(eager=True)
     )
     ltype = labels.schema["l"].dataType
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         # the vertex's CURRENT label rides along as `lcur` (null on
         # propagated rows): min(lcur) per group recovers the old label
         # with no join — every vertex has exactly one current-label row

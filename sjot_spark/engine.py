@@ -99,16 +99,36 @@ class ValidationEngine:
         part_col = F.col(part) if part else F.lit("_all")
 
         flags = self._flags_df(df, comp)
-        row_viol = self._row_violations(df, comp, key, part_col)
-        plan_viols = []
-        if self.spec.table.unique:
-            plan_viols.append(self._unique_violations(df, part_col))
+        # Referential integrity is FUSED into the row-check scan as a
+        # broadcast LEFT join + membership flag (guide §2.4: a second
+        # pruned scan + anti-join of the same input was pure extra
+        # I/O): the dim side broadcasts exactly as before, the fact
+        # side still never shuffles, and the violation rows/details
+        # are identical to the standalone :meth:`_ref_violations`.
+        dfj = df
+        ref_checks: list[RowCheck] = []
         for rc in self.spec.table.refs:
             if rc.dim not in dims:
                 raise SpecError(
                     f"@table.ref needs dimension table {rc.dim!r} in dims=")
-            plan_viols.append(
-                self._ref_violations(df, dims[rc.dim], rc, key, part_col))
+            flag = f"_ref_ok_{rc.column}"
+            dimk = (
+                dims[rc.dim]
+                .select(F.col(rc.dim_column).alias(rc.column)).distinct()
+                .select(rc.column, F.lit(True).alias(flag))
+            )
+            dfj = dfj.join(F.broadcast(dimk), on=rc.column, how="left")
+            ref_checks.append(RowCheck(
+                check_id=f"{rc.column}_ref",
+                passed=F.col(flag),
+                detail=self._ref_detail(rc),
+                typepath=f"/@table/ref/{rc.column}",
+            ))
+        row_viol = self._row_violations(dfj, comp, key, part_col,
+                                        extra_checks=ref_checks)
+        plan_viols = []
+        if self.spec.table.unique:
+            plan_viols.append(self._unique_violations(df, part_col))
         violations = reduce(DataFrame.unionByName, [row_viol, *plan_viols])
         if persist_violations:
             from pyspark import StorageLevel
@@ -146,29 +166,39 @@ class ValidationEngine:
         return df.select(*cols, *flag_cols, passed.alias("passed"))
 
     def _row_violations(
-        self, df: DataFrame, comp: CompiledSpec, key: str, part_col: Column
+        self, df: DataFrame, comp: CompiledSpec, key: str, part_col: Column,
+        extra_checks: list[RowCheck] | None = None,
     ) -> DataFrame:
         """Unpivot failing checks into typed violation rows. Built as
         explode(filter(array<struct>)) so passing rows contribute
-        nothing and detail strings are only computed on failure."""
-        if not comp.row_checks:
+        nothing and detail strings are only computed on failure.
+        ``extra_checks`` ride the same scan/filter/explode (run() fuses
+        the referential-integrity membership flags here) without
+        joining the flags/verdict row-check set."""
+        checks = list(comp.row_checks) + list(extra_checks or ())
+        if not checks:
             return self._empty_violations(df)
         # filter first: the scan evaluates each check once per row and
         # drops passing rows, so the struct-array + detail-string
         # projection below only ever runs on the (rare) failing rows
         all_pass = reduce(
-            and_, (F.coalesce(c.passed, F.lit(False)) for c in comp.row_checks)
+            and_, (F.coalesce(c.passed, F.lit(False)) for c in checks)
         )
         fast = self.detail_level == "fast"
+        # fast-mode detail stripping applies to the compiled ROW checks
+        # only — fused extras (ref integrity) keep their details, like
+        # the standalone _ref_violations always did
+        n_row = len(comp.row_checks)
         structs = [
             F.struct(
                 F.lit(c.check_id).alias("check_id"),
                 F.coalesce(c.passed, F.lit(False)).alias("ok"),
-                (F.lit(None).cast("string") if fast else F.when(
+                (F.lit(None).cast("string") if fast and i < n_row
+                 else F.when(
                     ~F.coalesce(c.passed, F.lit(False)), c.detail
                 )).alias("detail"),
             )
-            for c in comp.row_checks
+            for i, c in enumerate(checks)
         ]
         fails = F.filter(F.array(*structs), lambda s: ~s.getField("ok"))
         return (
@@ -207,11 +237,23 @@ class ValidationEngine:
             ).alias("detail"),
         )
 
+    @staticmethod
+    def _ref_detail(rc) -> Column:
+        return F.format_string(
+            "$.%s value %s is not a member of dimension %s.%s",
+            F.lit(rc.column),
+            F.coalesce(F.col(rc.column).cast("string"), F.lit("null")),
+            F.lit(rc.dim), F.lit(rc.dim_column),
+        )
+
     def _ref_violations(
         self, df: DataFrame, dim: DataFrame, rc, key: str, part_col: Column
     ) -> DataFrame:
         """Referential integrity = broadcast LEFT ANTI join against the
-        dimension (C7 in SURVEY §2.4): fact side never shuffles."""
+        dimension (C7 in SURVEY §2.4): fact side never shuffles.
+        Standalone operator form; run() instead fuses the same check
+        into the row-check scan as a broadcast LEFT join + membership
+        flag (identical violation rows, one less scan of the input)."""
         dimk = (
             dim.select(F.col(rc.dim_column).alias(rc.column)).distinct()
         )
@@ -220,12 +262,7 @@ class ValidationEngine:
             F.col(key).cast("string").alias("key"),
             part_col.cast("string").alias("partition"),
             F.lit(f"{rc.column}_ref").alias("check_id"),
-            F.format_string(
-                "$.%s value %s is not a member of dimension %s.%s",
-                F.lit(rc.column),
-                F.coalesce(F.col(rc.column).cast("string"), F.lit("null")),
-                F.lit(rc.dim), F.lit(rc.dim_column),
-            ).alias("detail"),
+            self._ref_detail(rc).alias("detail"),
         )
 
     def _verdicts(

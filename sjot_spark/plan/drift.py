@@ -62,9 +62,25 @@ def value_histogram_jvm(
     buckets x tasks. This is the default path (no Python workers,
     no Arrow transfer of every token array)."""
     n_buckets = max_value // bucket_width + 1
-    g = F.col(group_by) if group_by else F.lit("_all")
     raw = F.floor(F.col("v") / bucket_width)
     bucket = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), raw))
+    if group_by is None:
+        # ungrouped: aggregate on the PRIMITIVE int bucket alone — a
+        # constant "_all" string in the grouping key defeats codegen's
+        # first-level primitive fast hashmap and adds a string hash
+        # per element (measured ~25% of the 750M-element agg); the
+        # literal group is re-attached after the (tiny) aggregate,
+        # value-identical output
+        return (
+            df.where(F.col(column).isNotNull())
+            .select(F.explode(F.col(column)).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy(bucket.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("_all").cast("string").alias("group"),
+                    "bucket", "cnt")
+        )
+    g = F.col(group_by)
     return (
         df.where(F.col(column).isNotNull())
         .select(g.cast("string").alias("group"),

@@ -29,8 +29,10 @@ def plans(spark):
     )._jdf.queryExecution().executedPlan().toString()
     uniq_plan = eng._unique_violations(
         df, F.col("source"))._jdf.queryExecution().executedPlan().toString()
+    viol_plan = res.violations._jdf.queryExecution() \
+        .executedPlan().toString()
     return {"flags": flags_plan, "row_viol": rv_plan,
-            "ref": ref_plan, "uniq": uniq_plan}
+            "ref": ref_plan, "uniq": uniq_plan, "viol": viol_plan}
 
 
 def test_row_checks_are_shuffle_free(plans):
@@ -60,6 +62,26 @@ def test_ref_integrity_is_broadcast_anti_join(plans):
         l for l in lines[:bcast_at] if "Exchange" in l and "Broadcast" not in l
     ]
     assert not fact_exchanges, fact_exchanges
+
+
+def test_run_fuses_ref_check_into_row_scan(plans):
+    """run() evaluates referential integrity as a broadcast LEFT join
+    membership flag INSIDE the row-check scan (r7: one less scan of
+    the input than the standalone anti-join operator). The fact side
+    must still never shuffle: the only Exchange in the whole
+    violations union apart from the broadcast build sides is the
+    uniqueness aggregation's hash exchange."""
+    assert "BroadcastHashJoin" in plans["viol"]
+    assert "LeftOuter" in plans["viol"]
+    assert "SortMergeJoin" not in plans["viol"]
+    # the only hash exchanges in the whole violations union: the
+    # uniqueness aggregation, plus the 8-row dim .distinct() inside
+    # the broadcast build side — the fact side itself never shuffles
+    shuffles = [
+        l for l in plans["viol"].splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) <= 2, shuffles
 
 
 def test_uniqueness_has_partial_aggregation(plans):
