@@ -146,36 +146,55 @@ def remove_duplicated_substrings(
     )
 
     dup = duplicated_grams(g, "_grams", min_count)
+    # per-doc duplicated START POSITIONS (r7): the join runs on the
+    # positional gram explode rather than the per-doc distinct hash
+    # set, so the rewrite side below needs only the TOKENS — the gram
+    # hashes are built twice (census + hits), not three times, and the
+    # rewrite's flag lookup probes a small sorted int array instead of
+    # re-hashing every gram against a 60-bit hash set
     hits = (
         g.select(
             F.col(id_col),
-            F.explode_outer(F.array_distinct(F.col("_grams")))
-            .alias("gram_hash"),
+            F.posexplode_outer(F.col("_grams")).alias("pos", "gram_hash"),
         )
         .where(F.col("gram_hash").isNotNull())
         .join(dup.select("gram_hash"), "gram_hash")
         .groupBy(id_col)
-        .agg(F.collect_set("gram_hash").alias("_dupset"))
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dup_starts"))
     )
 
-    joined = g.join(hits, id_col, "left")
-    # flag each gram start; _dupset NULL (untouched doc) -> all zero
+    joined = staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.col("_toks"),
+        F.size("_toks").cast("long").alias("n_tok"),
+    ).join(hits, id_col, "left")
+    # flag each gram start; _dup_starts NULL (untouched doc) -> all
+    # zero. Values identical to the former hash-set formulation: flag
+    # at start i == (i ∈ dup_starts).
+    m = F.size("_toks")
     flagged = joined.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         "n_tok",
         "_toks",
-        F.transform(
-            F.col("_grams"),
-            lambda gg: F.coalesce(
-                F.array_contains(F.col("_dupset"), gg), F.lit(False)
-            ).cast("int"),
-        ).alias("_flags"),
+        F.coalesce(F.size("_dup_starts"), F.lit(0)).cast("long")
+        .alias("n_dup_starts"),
+        F.when(
+            m >= k,
+            F.transform(
+                F.sequence(F.lit(0), m - k),
+                lambda i: F.coalesce(
+                    F.array_contains(F.col("_dup_starts"), i),
+                    F.lit(False),
+                ).cast("int"),
+            ),
+        ).otherwise(F.array().cast("array<int>")).alias("_flags"),
     )
     # token t covered iff any duplicated gram starts in
     # [t-k+1, min(t, n-k)] — an O(k) slice-max per token over the
-    # staged flag array. _flags consumers: the cov lambda +
-    # n_dup_starts (2, stays staged).
+    # staged flag array. _flags consumers: the cov lambda + the
+    # ng guard (2, stays staged).
     ng = F.size("_flags")
 
     def cov(ti: Column) -> Column:
@@ -191,11 +210,7 @@ def remove_duplicated_substrings(
         *[F.col(c) for c in carry_cols],
         "n_tok",
         "_toks",
-        F.aggregate(
-            F.col("_flags"),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("n_dup_starts"),
+        "n_dup_starts",
         F.when(
             ng == 0, F.array().cast("array<int>")
         ).otherwise(

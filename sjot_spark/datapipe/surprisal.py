@@ -231,6 +231,49 @@ def bigram_census(
     )
 
 
+def unigram_bigram_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 65536,
+    max_bigrams: int = 1 << 20,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Both censuses from ONE tokenization pass over the corpus (r7;
+    guide §2.3/§2.4): the (prev, token) occurrence counts subsume the
+    unigram counts — ``cnt(token) = Σ over prev (incl. the NULL
+    first-token prev) of cnt(prev, token)`` — so one map-side-combined
+    aggregation over the exploded pairs replaces the two separate
+    corpus passes of ``token_census`` + ``bigram_census``. Returns
+    (unigram, bigrams) value-identical to those functions (same
+    counts, same deterministic total-order cuts). The intermediate
+    pair-count relation is census-sized (distinct observed bigrams,
+    not occurrences) and is materialized once (lazy localCheckpoint)
+    because both cuts consume it."""
+    pairs = _exploded_pairs(docs, id_col, text_col)
+    paircounts = (
+        pairs.where(F.col("token").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("big_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    unigram = (
+        paircounts.groupBy("token")
+        .agg(F.sum("big_cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(max_vocab)
+    )
+    prefix = unigram.select(
+        F.col("token").alias("prev"), F.col("cnt").alias("cnt_prev"))
+    bigrams = (
+        paircounts.where(F.col("prev").isNotNull())
+        .join(broadcast(prefix), "prev")
+        .orderBy(F.col("big_cnt").desc(), F.col("prev").asc(),
+                 F.col("token").asc())
+        .limit(max_bigrams)
+    )
+    return unigram, bigrams
+
+
 def score_documents_bigram(
     docs: DataFrame,
     unigram: DataFrame,

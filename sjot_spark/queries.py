@@ -3536,8 +3536,11 @@ def q_surprisal2(spark, sf_dir):
     from sjot_spark.datapipe import surprisal
 
     docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    uni = surprisal.token_census(docs, "text", max_vocab=500)
-    big = surprisal.bigram_census(docs, uni, "text", max_bigrams=2000)
+    # one tokenization pass builds BOTH censuses (r7: the pair counts
+    # subsume the unigram counts; value-identical to token_census +
+    # bigram_census, one fewer corpus pass — see unigram_bigram_census)
+    uni, big = surprisal.unigram_bigram_census(
+        docs, "text", max_vocab=500, max_bigrams=2000)
     scored = surprisal.score_documents_bigram(
         docs, uni, big, "doc_id", "text", carry_cols=("source",)
     )

@@ -121,6 +121,22 @@ def test_bigram_hand_computed_backoff_buckets(bdocs):
     assert d3.bits_sum is None and d3.score_permille is None
 
 
+def test_fused_census_matches_separate_passes(bdocs):
+    """unigram_bigram_census (r7: one tokenization pass for both cuts)
+    must be value-identical to token_census + bigram_census, including
+    the deterministic total-order truncation and blank-doc handling."""
+    uni0 = surprisal.token_census(bdocs, "text", max_vocab=3)
+    big0 = surprisal.bigram_census(bdocs, uni0, "text", max_bigrams=3)
+    uni1, big1 = surprisal.unigram_bigram_census(
+        bdocs, "text", max_vocab=3, max_bigrams=3)
+    assert ({(r.token, r.cnt) for r in uni0.collect()}
+            == {(r.token, r.cnt) for r in uni1.collect()})
+    assert ({(r.prev, r.token, r.big_cnt, r.cnt_prev)
+             for r in big0.collect()}
+            == {(r.prev, r.token, r.big_cnt, r.cnt_prev)
+                for r in big1.collect()})
+
+
 def test_bigram_scoring_plan_broadcast_only_no_lambda_split(bdocs):
     """Scoring joins are all broadcast, and the in-row prev-pairing
     never lands the tokenizer split inside a lambda body (the
