@@ -183,7 +183,7 @@ FROM bad LEFT JOIN vc ON bad.part = vc.part
 # ----------------------------------------------------- text analysis
 
 def q_text_profile(spark, sf_dir):
-    return text.profile_documents(load_par(spark, sf_dir, "documents"))
+    return text.profile_documents(load(spark, sf_dir, "documents"))
 
 
 def _sql_word_count(word: str) -> str:
@@ -203,7 +203,7 @@ FROM documents GROUP BY source
 
 
 def q_lang_id_counts(spark, sf_dir):
-    docs = load_par(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     return (
         docs.select("lang", text.lang_id(F.col("text")).alias("guessed"))
         .groupBy("lang", "guessed")
@@ -233,7 +233,7 @@ FROM scored GROUP BY 1, 2
 
 
 def q_quality_classes(spark, sf_dir):
-    docs = load_par(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     return (
         docs.select(
             "source",
@@ -284,7 +284,7 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
 
 
@@ -311,13 +311,13 @@ WHERE inter >= 0.3 * (sa.sz + sb.sz - inter)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (rows-only driver check: the banded
     LSH pipeline is not reasonably expressible in one SQL statement)."""
-    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text",
                                    n=3, k=16, bands=4, verify_threshold=0.3)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -964,7 +964,7 @@ def q_fingerprint_overlap(spark, sf_dir):
     MOSS pipeline is not reasonably one-statement SQL)."""
     from sjot_spark.datapipe.fingerprint import fingerprint_overlap_pairs
 
-    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return fingerprint_overlap_pairs(docs, "doc_id", "text",
                                      k=5, w=8, min_shared=2)
 
@@ -1340,7 +1340,7 @@ ORACLES["fingerprint_overlap"] = _oracle_fingerprint()
 def q_quality_scores(spark, sf_dir):
     """Integer-exact per-document quality score (length + lexical
     diversity + stopword components; see datapipe.text)."""
-    docs = load_par(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return docs.select(
         "doc_id",
         text.quality_score_1000(F.col("text"), F.col("n_chars"))
@@ -1658,7 +1658,7 @@ def q_repair_defaults(spark, sf_dir):
     default insertion, index.js:424-442), return the repaired values."""
     d = F.col("doc_id")
     staged = (
-        load_par(spark, sf_dir, "documents").where(d < 400)
+        load(spark, sf_dir, "documents").where(d < 400)
         .select(
             d.cast("string").alias("k"),
             F.when(d % 7 == 2, F.lit(None)).otherwise(F.col("lang"))
@@ -1916,7 +1916,7 @@ ORACLES.update(TPCH2_ORACLES)
 def q_dedup_clusters(spark, sf_dir):
     from sjot_spark.datapipe.cluster import connected_components
 
-    docs = load_par(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     stars = docs.select(d.alias("a"), (d - d % 5).alias("b"))
     bridges = (
@@ -1997,7 +1997,7 @@ ORACLES["events_asof"] = ORACLE_EVENTS_ASOF
 def q_pack_stats(spark, sf_dir):
     from sjot_spark.datapipe.pack import pack_stats
 
-    docs = load_par(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     # budget 800 != the 1000 per-mille multiplier, so the oracle
     # genuinely exercises the fill division (a budget equal to the
     # multiplier would make fill_permille == len_sum on both engines)
@@ -2021,7 +2021,7 @@ FROM packed GROUP BY 1, 2
 def q_stratified_sample(spark, sf_dir):
     from sjot_spark.datapipe.pack import stratified_take
 
-    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_take(docs, group="source", key="doc_id", n=5)
 
 
@@ -2038,7 +2038,7 @@ WHERE rk <= 5
 def q_hash_sample(spark, sf_dir):
     from sjot_spark.datapipe.pack import hash_sample
 
-    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return hash_sample(docs, key="doc_id", k=7)
 
 
@@ -2110,7 +2110,7 @@ ORACLES["events_props_validate"] = ORACLE_EVENTS_PROPS_VALIDATE
 def q_repair_sets(spark, sf_dir):
     d = F.col("doc_id")
     staged = (
-        load_par(spark, sf_dir, "documents").where(d < 500)
+        load(spark, sf_dir, "documents").where(d < 500)
         .select(
             d.cast("string").alias("k"),
             F.array(F.col("lang"), F.col("source"),
@@ -2215,7 +2215,7 @@ ORACLES["json_embedded_sjot"] = ORACLE_JSON_EMBEDDED_SJOT
 def q_salted_distinct(spark, sf_dir):
     from sjot_spark.plan.agg import salted_agg
 
-    docs = load_par(spark, sf_dir, "documents").select("source", "doc_id")
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
     return salted_agg(
         docs, ["source"], {"n_distinct_docs": ("count_distinct", "doc_id")},
         n_salts=16, salt_on="doc_id")
@@ -3262,7 +3262,7 @@ def q_vocab_drift(spark, sf_dir):
     covered)."""
     from sjot_spark.datapipe import censusdrift, surprisal
 
-    docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     hp = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("long"), F.lit(1000000))
@@ -3467,7 +3467,7 @@ def q_surprisal(spark, sf_dir):
     scoring path including the deterministic vocab cut."""
     from sjot_spark.datapipe import surprisal
 
-    docs = load_par(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     census = surprisal.token_census(docs, "text", max_vocab=500)
     scored = surprisal.score_documents(
         docs, census, "doc_id", "text", carry_cols=("source",)
