@@ -57,7 +57,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load_par(spark: SparkSession, sf_dir: str, table: str,
+             min_bytes: int = 0) -> DataFrame:
     """Read a table whose downstream is PER-ROW-COMPUTE-HEAVY (token
     hashing, regex/lambda folds, JSON parsing, vector math), restoring
     scan parallelism when the input is an unsplittable single row
@@ -81,7 +82,19 @@ def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ``load`` — measured at sf0.1, the extra exchange only costs them
     ~0.2-0.5 s and buys nothing. Filters and column pruning still
     reach the scan — Catalyst pushes both through
-    RepartitionByExpression."""
+    RepartitionByExpression.
+
+    ``min_bytes`` gates the repartition on input size for
+    LIGHT-per-row-compute consumers: the exchange has a fixed
+    ~0.2-0.3 s round-trip cost, and for cheap projections the
+    crossover where parallel compute beats it was measured between
+    ~0.6 MB (still loses) and ~6 MB (wins clearly) of single-split
+    input — callers in that class pass ``min_bytes=LIGHT_MIN_BYTES``
+    so tiny inputs keep the bare scan while any larger single-split
+    layout (e.g. a bigger driver-generated scale factor) gets the
+    parallelism automatically. Heavy-compute callers keep the default
+    0 (repartition whenever under-split — measured a win even at
+    0.6 MB)."""
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     p = spark.sparkContext.defaultParallelism
@@ -89,9 +102,31 @@ def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if n is None:
         n = df.rdd.getNumPartitions()
         _SCAN_PARTS[path] = n
-    if n < p:
+    if n < p and _input_bytes(path) >= min_bytes:
         df = df.repartition(p, F.col(df.columns[0]))
     return df
+
+
+# light-compute crossover gate for load_par (see its docstring)
+LIGHT_MIN_BYTES = 4 << 20
+
+_INPUT_BYTES: dict[str, int] = {}
+
+
+def _input_bytes(path: str) -> int:
+    b = _INPUT_BYTES.get(path)
+    if b is None:
+        import os
+
+        if os.path.isdir(path):
+            b = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+            )
+        else:
+            b = os.path.getsize(path)
+        _INPUT_BYTES[path] = b
+    return b
 
 
 def _cents(col: str):
@@ -114,10 +149,12 @@ def _dims(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def _doc_result(spark, sf_dir):
-    # bare load: the engine evaluates the docs scan in four pruned
-    # subtrees (checks, unique agg, ref join, row stats) — a load_par
-    # exchange would be paid per subtree and measured net-negative
-    docs = load(spark, sf_dir, "documents")
+    # size-gated load_par: the engine evaluates the docs scan in
+    # several pruned subtrees, so the exchange is paid per subtree —
+    # measured net-negative at sf0.1 (0.66→0.81 s) but a clear win on
+    # a 10x single-split input (2.5→1.5 s); LIGHT_MIN_BYTES picks the
+    # measured crossover
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     return ValidationEngine(DOC_SPEC).run(docs, dims=_dims(spark))
 
 
@@ -183,7 +220,7 @@ FROM bad LEFT JOIN vc ON bad.part = vc.part
 # ----------------------------------------------------- text analysis
 
 def q_text_profile(spark, sf_dir):
-    return text.profile_documents(load(spark, sf_dir, "documents"))
+    return text.profile_documents(load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES))
 
 
 def _sql_word_count(word: str) -> str:
@@ -203,7 +240,7 @@ FROM documents GROUP BY source
 
 
 def q_lang_id_counts(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     return (
         docs.select("lang", text.lang_id(F.col("text")).alias("guessed"))
         .groupBy("lang", "guessed")
@@ -233,7 +270,7 @@ FROM scored GROUP BY 1, 2
 
 
 def q_quality_classes(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     return (
         docs.select(
             "source",
@@ -2945,7 +2982,7 @@ def q_source_mix(spark, sf_dir):
     rate, and what the sample actually kept."""
     from sjot_spark.datapipe import mixing
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     nt = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
@@ -3040,7 +3077,7 @@ def q_source_mix_epochs(spark, sf_dir):
     — the opposite mechanism, no unnest)."""
     from sjot_spark.datapipe import mixing
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     nt = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
@@ -3150,7 +3187,7 @@ def q_epoch_mix_shards(spark, sf_dir):
     (shard.shard_balance extra_aggs)."""
     from sjot_spark.datapipe import mixing, shard
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     nt = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
@@ -3338,7 +3375,7 @@ def q_training_order(spark, sf_dir):
     reading shard files back (test_shard)."""
     from sjot_spark.datapipe import shard
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES)
     nt = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
@@ -3467,7 +3504,7 @@ def q_surprisal(spark, sf_dir):
     scoring path including the deterministic vocab cut."""
     from sjot_spark.datapipe import surprisal
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_par(spark, sf_dir, "documents", min_bytes=LIGHT_MIN_BYTES).select("doc_id", "source", "text")
     census = surprisal.token_census(docs, "text", max_vocab=500)
     scored = surprisal.score_documents(
         docs, census, "doc_id", "text", carry_cols=("source",)
