@@ -100,11 +100,49 @@ def load_par(spark: SparkSession, sf_dir: str, table: str,
     p = spark.sparkContext.defaultParallelism
     n = _SCAN_PARTS.get(path)
     if n is None:
-        n = df.rdd.getNumPartitions()
+        n = _native_splits(spark, path)
         _SCAN_PARTS[path] = n
     if n < p and _input_bytes(path) >= min_bytes:
         df = df.repartition(p, F.col(df.columns[0]))
     return df
+
+
+def _native_splits(spark: SparkSession, path: str) -> int:
+    """Estimate the scan's non-empty split count from parquet footers
+    (pyarrow, milliseconds) instead of ``df.rdd.getNumPartitions()``
+    (physical planning through py4j — measured 0.15-0.3 s per table,
+    paid by the session's first query). Spark splits files into
+    ``maxPartitionBytes`` byte ranges and a range only yields rows if
+    a row-group midpoint falls in it, so non-empty tasks are bounded
+    by min(byte-range splits, total row groups). Overestimating skips
+    the repartition (safe at scale: many files/row groups short-
+    circuit exactly as before); the single-file single-row-group
+    driver layout estimates 1, same as the planner reported."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 "134217728b")).lower().strip()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mpb_raw = mpb_raw.removesuffix("b")
+    mult = units.get(mpb_raw[-1:], 1)
+    digits = mpb_raw.rstrip("kmg")
+    mpb = (int(digits) * mult) if digits.isdigit() else (128 << 20)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    row_groups = sum(
+        pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    splits = max(1, -(-total_bytes // mpb))
+    return max(1, min(splits, row_groups))
 
 
 # light-compute crossover gate for load_par (see its docstring)
