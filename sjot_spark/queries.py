@@ -399,7 +399,8 @@ def q_simhash_pairs(spark, sf_dir):
 # -------------------------------------------------------- similarity
 
 def q_knn_cosine(spark, sf_dir):
-    emb = load_par(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings",
+                   min_bytes=LIGHT_MIN_BYTES)
     return similarity.knn_bruteforce(
         emb, "vec_id", "embedding", [0, 1, 2], k=5
     ).select("query_id", "neighbor_id", "rank")
