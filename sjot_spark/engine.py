@@ -288,8 +288,25 @@ class ValidationEngine:
                 ).alias("n_bad_rows"),
             )
         )
+        # FULL OUTER decomposed as LEFT ∪ ANTI (r7; the censusdrift
+        # pattern): Spark has no broadcast strategy for full-outer, so
+        # the two tiny per-partition aggregates were sort-merge-joined
+        # (two extra exchanges + sorts); LEFT and LEFT ANTI both
+        # broadcast. Row-for-row identical in every case, including
+        # NULL partitions (null keys match in neither formulation:
+        # full-outer emits both unmatched halves, which is exactly
+        # left ∪ anti).
+        joined = row_stats.join(vio_stats, "partition", "left")
+        only_vio = vio_stats.join(
+            row_stats.select("partition"), "partition", "left_anti"
+        ).select(
+            "partition", F.lit(None).cast("long").alias("n_rows"),
+            "n_violations", "n_bad_rows",
+        )
         return (
-            row_stats.join(vio_stats, "partition", "full")
+            joined.select("partition", "n_rows", "n_violations",
+                          "n_bad_rows")
+            .unionByName(only_vio)
             .select(
                 "partition",
                 F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
